@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises a gmql_spark operator (SURVEY.md §2)
+over the driver's testdata tables; ``oracle_sql()`` holds the equivalent
+DuckDB SQL. Column names/aliases are kept identical on both sides; float
+results are either exact-by-construction (integer/min/max/decimal-sum
+arithmetic) or reproduce Spark's exact interpolation formula in SQL.
 """
 
 from __future__ import annotations
@@ -12,27 +12,443 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # Spark 4 infers parquet timestamps as TIMESTAMP_NTZ; normalize to
+    # session-TZ (UTC) timestamps so unix_micros/window arithmetic works
+    for f_ in df.schema.fields:
+        if f_.dataType.typeName() == "timestamp_ntz":
+            df = df.withColumn(f_.name, F.col(f_.name).cast("timestamp"))
+    return df
+
+
+# ---------------------------------------------------------------- rollups
+
+def q_rollup_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-minute per-user rollup (MAP recast; operators.window_agg)."""
+    from gmql_spark.operators.window_agg import window_rollup
+
+    ev = _read(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,2)")
+    return window_rollup(
+        ev,
+        "1 minute",
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec).cast("double").alias("val_sum"),
+            F.min("value").alias("val_min"),
+            F.max("value").alias("val_max"),
+        ],
+        keys=["user_id"],
+    )
+
+
+def q_rollup_1h_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h tier built by re-aggregating the 1m tier (continuous-aggregate
+    cascade); oracle computes 1h directly — results must coincide."""
+    from gmql_spark.operators.window_agg import cascade, window_rollup
+
+    ev = _read(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,2)")
+    m1 = window_rollup(
+        ev,
+        "1 minute",
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec).alias("val_sum_dec"),
+            F.min("value").alias("val_min"),
+            F.max("value").alias("val_max"),
+        ],
+        keys=["user_id"],
+    )
+    h1 = cascade(
+        m1,
+        "1 hour",
+        aggs=[
+            F.sum("n").alias("n"),
+            F.sum("val_sum_dec").cast("double").alias("val_sum"),
+            F.min("val_min").alias("val_min"),
+            F.max("val_max").alias("val_max"),
+        ],
+        keys=["user_id"],
+    )
+    return h1.select("user_id", "window_start", "window_end", "n", "val_sum", "val_min", "val_max")
+
+
+def q_merge_global_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE recast (MergeRD ``IROperators.scala:289-291``): collapse all
+    keys into one global hourly series."""
+    from gmql_spark.operators.window_agg import window_rollup
+
+    ev = _read(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,2)")
+    return window_rollup(
+        ev,
+        "1 hour",
+        aggs=[F.count(F.lit(1)).alias("n"), F.sum(dec).cast("double").alias("val_sum")],
+        keys=[],
+    )
+
+
+def q_type_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event_type histogram in relational form (GroupMD/counts_map
+    semantics, long format for the SQL oracle)."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact inter-event latency percentiles per user (EXTEND/AggregateRD
+    recast: per-sample aggregate -> one row per sample,
+    ``AggregateRD.scala:17-53``)."""
+    from gmql_spark.operators.rollup import with_gap_seconds
+
+    ev = _read(spark, sf_dir, "events")
+    g = with_gap_seconds(ev, key="user_id", order=["ts", "event_id"], ts="ts")
+    return g.groupBy("user_id").agg(
+        F.count("gap_s").alias("n_gaps"),
+        F.percentile("gap_s", F.lit(0.5)).alias("latency_p50"),
+        F.percentile("gap_s", F.lit(0.95)).alias("latency_p95"),
+        F.percentile("gap_s", F.lit(0.99)).alias("latency_p99"),
+        F.sum("gap_us").alias("latency_sum_us"),
+    )
+
+
+def q_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill: dense per-user hourly grid, zero-filled counts, LOCF of
+    the nullable hourly count (MAP's zero-count left-outer semantics,
+    ``GenometricMap71.scala:109-120``)."""
+    from gmql_spark.operators.gapfill import gapfill
+    from gmql_spark.operators.window_agg import window_rollup
+
+    ev = _read(spark, sf_dir, "events")
+    h = window_rollup(ev, "1 hour", aggs=[F.count(F.lit(1)).alias("n")], keys=["user_id"])
+    out = gapfill(h, tier="1h", key="user_id", value_col="n", interp_col=None)
+    return out.select("user_id", "window_start", "n", "is_gap", "n_locf")
+
+
+# ------------------------------------------------- select / project / order
+
+def q_select_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT + PROJECT with computed column (SelectRD/ProjectRD,
+    ``PredicateRD.scala``/``ProjectRD.scala``); predicate reaches the
+    parquet scan via Catalyst pushdown."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") >= 50.0))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "value",
+            F.floor(F.col("value") / 10).cast("long").alias("value_bucket"),
+        )
+    )
+
+
+def q_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events per user by value (OrderRD Top(k),
+    ``OrderRD.scala:23-168``) with 1-based order position."""
+    from gmql_spark.operators.order import topk_per_key
+
+    ev = _read(spark, sf_dir, "events")
+    out = topk_per_key(
+        ev,
+        keys=["user_id"],
+        order_by=[F.col("value").desc(), F.col("event_id").asc()],
+        k=3,
+    )
+    return out.select("user_id", "event_id", "value", "order_pos")
+
+
+# ------------------------------------------------------ joins / set ops
+
+def q_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemiJoinMD (``SemiJoinMD.scala:20-80``): keep events of users who
+    have >=1 'error' event. left_semi — Catalyst broadcasts the id set."""
+    ev = _read(spark, sf_dir, "events")
+    err_users = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    return ev.join(err_users, "user_id", "left_semi").select("event_id", "user_id", "event_type")
+
+
+def q_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENCE (anti range join, ``GenometricDifference.scala:18-114``):
+    purchases with NO error event of the same user within 10 minutes."""
+    from gmql_spark.operators.difference import temporal_difference
+
+    ev = _read(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    errors = ev.filter(F.col("event_type") == "error")
+    out = temporal_difference(purchases, errors, keys=["user_id"], max_distance_s=600.0)
+    return out.select("event_id", "user_id", "ts", "value")
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (GenometricJoin MinDistance/Upstream,
+    ``GenometricJoin.scala:130-151``): for each purchase, the most recent
+    click of the same user at-or-before it, plus the gap in seconds."""
+    from gmql_spark.operators.join import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    out = asof_join(purchases, clicks, keys=["user_id"], ts="ts", right_cols=())
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_right").alias("click_ts"),
+        ((F.unix_micros("ts") - F.unix_micros("ts_right")) / F.lit(1e6)).alias("gap_s"),
+    )
+
+
+def q_union_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION with provenance attribute (UnionMD adds ``_provenance``,
+    ``UnionMD.scala:51``; UnionRD schema-merge ≙ unionByName)."""
+    ev = _read(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").withColumn("_provenance", F.lit("left"))
+    b = ev.filter(F.col("event_type") == "signup").withColumn("_provenance", F.lit("right"))
+    return a.unionByName(b).select("event_id", "user_id", "event_type", "_provenance")
+
+
+# ----------------------------------------------------------- cover family
+
+def q_cover_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COVER/HISTOGRAM sweep (``GenometricCover.scala:345-360`` point
+    events + prefix sum): treat each event as a 10-minute interval and
+    emit the global concurrency step function."""
+    from gmql_spark.operators.cover import accumulation
+
+    ev = _read(spark, sf_dir, "events")
+    iv = ev.select(
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("interval 600 seconds")).alias("end_ts"),
+    )
+    return accumulation(iv, keys=())
+
+
+# ------------------------------------------------------------ text / dedup
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over documents: one keeper (min doc_id) per distinct
+    text, with duplicate count."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups")
+    ).select(F.md5("text").alias("text_hash"), "keep_id", "n_dups")
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting over documents (whitespace tokenizer)."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0))
+        .otherwise(F.size(toks))
+        .cast("long")
+        .alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: per-user 1-minute rollup."""
+    return q_rollup_1m(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "rollup_1m": q_rollup_1m,
+        "rollup_1h_cascade": q_rollup_1h_cascade,
+        "merge_global_1h": q_merge_global_1h,
+        "type_histogram": q_type_histogram,
+        "latency_percentiles": q_latency_percentiles,
+        "gapfill_hourly": q_gapfill_hourly,
+        "select_project": q_select_project,
+        "topk_per_user": q_topk_per_user,
+        "semijoin": q_semijoin,
+        "difference": q_difference,
+        "asof_join": q_asof_join,
+        "union_provenance": q_union_provenance,
+        "cover_accumulation": q_cover_accumulation,
+        "dedup_exact": q_dedup_exact,
+        "token_count": q_token_count,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _pct_sql(tag: str) -> str:
+    """DuckDB SQL reproducing Spark's exact percentile interpolation
+    lo_v*(hi-pos) + hi_v*(pos-lo), over per-row columns pos{tag}/lo{tag}/
+    hi{tag} precomputed in the ranked CTE (DuckDB forbids nested
+    aggregates). See gmql_spark.oracle.rollup._pct_plain_lerp."""
+    pos, lo, hi = f"max(pos{tag})", f"max(lo{tag})", f"max(hi{tag})"
+    lo_v = f"max(CASE WHEN rn=lo{tag} THEN gap_s END)"
+    hi_v = f"max(CASE WHEN rn=hi{tag} THEN gap_s END)"
+    return (
+        f"CASE WHEN {lo}={hi} THEN {lo_v} "
+        f"ELSE {lo_v}*({hi}-{pos}) + {hi_v}*({pos}-{lo}) END"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    gaps_cte = """
+        WITH g0 AS (
+            SELECT user_id,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+            FROM events
+        ), g AS (
+            SELECT user_id, gap_us, CAST(gap_us AS DOUBLE)/1e6 AS gap_s
+            FROM g0 WHERE gap_us IS NOT NULL
+        ), r0 AS (
+            SELECT user_id, gap_us, gap_s,
+                   row_number() OVER (PARTITION BY user_id ORDER BY gap_s) - 1 AS rn,
+                   count(*) OVER (PARTITION BY user_id) AS cnt
+            FROM g
+        ), r AS (
+            SELECT *,
+                   (0.50::DOUBLE)*(cnt-1) AS pos50, CAST(floor((0.50::DOUBLE)*(cnt-1)) AS BIGINT) AS lo50,
+                   CAST(ceil((0.50::DOUBLE)*(cnt-1)) AS BIGINT) AS hi50,
+                   (0.95::DOUBLE)*(cnt-1) AS pos95, CAST(floor((0.95::DOUBLE)*(cnt-1)) AS BIGINT) AS lo95,
+                   CAST(ceil((0.95::DOUBLE)*(cnt-1)) AS BIGINT) AS hi95,
+                   (0.99::DOUBLE)*(cnt-1) AS pos99, CAST(floor((0.99::DOUBLE)*(cnt-1)) AS BIGINT) AS lo99,
+                   CAST(ceil((0.99::DOUBLE)*(cnt-1)) AS BIGINT) AS hi99
+            FROM r0
+        )
     """
-    return {}
+    return {
+        "rollup_1m": """
+            SELECT user_id,
+                   time_bucket(INTERVAL '1 minute', ts) AS window_start,
+                   time_bucket(INTERVAL '1 minute', ts) + INTERVAL '1 minute' AS window_end,
+                   count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum,
+                   min(value) AS val_min,
+                   max(value) AS val_max
+            FROM events GROUP BY user_id, 2
+        """,
+        "rollup_1h_cascade": """
+            SELECT user_id,
+                   time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                   time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+                   count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum,
+                   min(value) AS val_min,
+                   max(value) AS val_max
+            FROM events GROUP BY user_id, 2
+        """,
+        "merge_global_1h": """
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                   time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+                   count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+            FROM events GROUP BY 1
+        """,
+        "type_histogram": """
+            SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2
+        """,
+        "latency_percentiles": gaps_cte + f"""
+            SELECT user_id,
+                   count(*) AS n_gaps,
+                   {_pct_sql('50')} AS latency_p50,
+                   {_pct_sql('95')} AS latency_p95,
+                   {_pct_sql('99')} AS latency_p99,
+                   sum(gap_us) AS latency_sum_us
+            FROM r GROUP BY user_id
+        """,
+        "gapfill_hourly": """
+            WITH b AS (
+                SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS h, count(*) AS n
+                FROM events GROUP BY 1, 2
+            ), span AS (
+                SELECT user_id, min(h) AS h0, max(h) AS h1 FROM b GROUP BY 1
+            ), grid AS (
+                SELECT user_id, unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS window_start
+                FROM span
+            ), j AS (
+                SELECT g.user_id, g.window_start, b.n
+                FROM grid g LEFT JOIN b ON b.user_id = g.user_id AND b.h = g.window_start
+            )
+            SELECT user_id, window_start,
+                   CAST(coalesce(n, 0) AS BIGINT) AS n,
+                   (n IS NULL) AS is_gap,
+                   CAST(last_value(n IGNORE NULLS) OVER (
+                        PARTITION BY user_id ORDER BY window_start
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_locf
+            FROM j
+        """,
+        "select_project": """
+            SELECT event_id, user_id, ts, value,
+                   CAST(floor(value/10) AS BIGINT) AS value_bucket
+            FROM events WHERE event_type = 'purchase' AND value >= 50.0
+        """,
+        "topk_per_user": """
+            SELECT user_id, event_id, value, order_pos FROM (
+                SELECT user_id, event_id, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY value DESC, event_id ASC) AS order_pos
+                FROM events
+            ) WHERE order_pos <= 3
+        """,
+        "semijoin": """
+            SELECT event_id, user_id, event_type FROM events
+            WHERE user_id IN (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+        """,
+        "difference": """
+            SELECT p.event_id, p.user_id, p.ts, p.value
+            FROM events p
+            WHERE p.event_type = 'purchase' AND NOT EXISTS (
+                SELECT 1 FROM events e
+                WHERE e.event_type = 'error' AND e.user_id = p.user_id
+                  AND abs(epoch_us(e.ts) - epoch_us(p.ts)) <= 600000000
+            )
+        """,
+        "asof_join": """
+            SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts,
+                   CAST(epoch_us(p.ts) - epoch_us(c.ts) AS DOUBLE)/1e6 AS gap_s
+            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+            ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "union_provenance": """
+            SELECT event_id, user_id, event_type, 'left' AS _provenance
+            FROM events WHERE event_type = 'click'
+            UNION ALL
+            SELECT event_id, user_id, event_type, 'right' AS _provenance
+            FROM events WHERE event_type = 'signup'
+        """,
+        "cover_accumulation": """
+            WITH pts AS (
+                SELECT ts AS t, 1 AS d FROM events
+                UNION ALL
+                SELECT ts + INTERVAL '600 seconds' AS t, -1 AS d FROM events
+            ), per_t AS (
+                SELECT t, sum(d) AS d FROM pts GROUP BY t HAVING sum(d) <> 0
+            ), s AS (
+                SELECT t,
+                       sum(d) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS acc,
+                       lead(t) OVER (ORDER BY t) AS next_t
+                FROM per_t
+            )
+            SELECT t AS acc_start, next_t AS acc_end, CAST(acc AS BIGINT) AS acc
+            FROM s WHERE acc > 0 AND next_t IS NOT NULL
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+            FROM documents GROUP BY text
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                   END AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars_actual
+            FROM documents
+        """,
+    }

@@ -1,0 +1,90 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Also measures the engine's flagship transcript rollup throughput
+(turns/sec) on a synthetic transcript table, since that is BASELINE.json's
+headline metric; the scaling run (N vs 4N cores) lives in
+tools/bench_scaling.py to keep this entrypoint fast.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "rollup_1m",
+    "rollup_1h_cascade",
+    "merge_global_1h",
+    "latency_percentiles",
+    "gapfill_hourly",
+    "topk_per_user",
+    "difference",
+    "asof_join",
+    "cover_accumulation",
+    "dedup_exact",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    import __spark_entry__ as entrymod
+    from gmql_spark.session import get_spark
+
+    spark = get_spark(cores=cpus, app_name="gmql-spark-bench")
+    qs = entrymod.queries()
+
+    # warm the JVM + parquet footer cache once
+    spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        if name not in qs:
+            continue
+        t0 = time.perf_counter()
+        n = qs[name](spark, sf_dir).count()  # full materialization of the agg
+        times[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+
+    # flagship transcript rollup throughput (BASELINE.json metric)
+    from gmql_spark.datagen import transcripts_spark
+    from gmql_spark.operators.rollup import rollup_all_tiers
+
+    n_conv = int(os.environ.get("GMQL_BENCH_CONV", "4000"))
+    raw = transcripts_spark(spark, n_conv=n_conv)
+    raw.cache()
+    n_turns = raw.count()
+    t0 = time.perf_counter()
+    tiers = rollup_all_tiers(raw)
+    for t, df in tiers.items():
+        df.write.mode("overwrite").format("noop").save()
+    rollup_wall = time.perf_counter() - t0
+    times["transcript_rollup_tiers"] = round(rollup_wall, 3)
+    raw.unpersist()
+
+    total = round(sum(times.values()), 3)
+    out = {
+        "metric": "headline query wall-clock + transcript tier-rollup",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "turns": n_turns,
+        "turns_per_sec": round(n_turns / rollup_wall, 1),
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

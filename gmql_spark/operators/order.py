@@ -1,0 +1,54 @@
+"""ORDER: per-key ranking and top-k selection.
+
+Recast of GMQL's OrderRD (``IROrderRD`` ``IROperators.scala:240-242``;
+``OrderRD.scala:23-168``): the reference collects all sample ids to the
+driver, builds a one-partition-per-sample ``IDPartitioner``
+(``OrderRD.scala:150-167``) and sorts each partition in memory — a hot
+conversation = one giant partition. Here it's a window rank: shuffles
+once by key, sorts within partitions via Tungsten sort, and top-k prunes
+before any further shuffle. TopP (percent) is ``percent_rank``
+(``OrderRD.scala:Top/TopP/TopG`` variants).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def rank_per_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column | str],
+    rank_col: str = "order_pos",
+) -> DataFrame:
+    """Append a 1-based rank within each key group (GMQL's appended
+    ``order`` position column, ``OrderRD.scala:83-86``)."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return df.withColumn(rank_col, F.row_number().over(w))
+
+
+def topk_per_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column | str],
+    k: int,
+    rank_col: str = "order_pos",
+) -> DataFrame:
+    """Top-k rows per key (GMQL ``Top(k)``)."""
+    return rank_per_key(df, keys, order_by, rank_col).filter(F.col(rank_col) <= k)
+
+
+def top_percent_per_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column | str],
+    pct: float,
+    rank_col: str = "order_pct",
+) -> DataFrame:
+    """Top fraction per key (GMQL ``TopP(pct)``)."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return df.withColumn(rank_col, F.percent_rank().over(w)).filter(F.col(rank_col) <= pct)

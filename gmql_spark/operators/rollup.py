@@ -41,14 +41,18 @@ PCT_NAMES = ("latency_p50", "latency_p95", "latency_p99")
 
 
 def with_gap_seconds(
-    df: DataFrame, key: str = "conv_id", order: str = "turn_idx", ts: str = "ts"
+    df: DataFrame,
+    key: str = "conv_id",
+    order: str | Sequence[str] = "turn_idx",
+    ts: str = "ts",
 ) -> DataFrame:
     """Add ``gap_s``: seconds since the previous turn of the conversation
     (stable order = turn_idx), null for the first turn.
 
     Computed in integer microseconds first (``unix_micros``) so the double
     result is bit-identical to the pandas/DuckDB oracles."""
-    w = Window.partitionBy(key).orderBy(order)
+    order_cols = [order] if isinstance(order, str) else list(order)
+    w = Window.partitionBy(key).orderBy(*order_cols)
     us = F.unix_micros(F.col(ts))
     return df.withColumn("gap_us", us - F.lag(us).over(w)).withColumn(
         "gap_s", F.col("gap_us") / F.lit(1e6)

@@ -92,7 +92,20 @@ def oracle_gapfill_1m(rollup_1m: pd.DataFrame) -> pd.DataFrame:
         present = gi["turn_count"].notna()
         tc = gi["turn_count"].fillna(0).astype(np.int64)
         locf = gi["turn_count"].ffill().astype(np.int64)
-        interp = gi["latency_p50"].astype(float).interpolate(method="index", limit_area="inside")
+        # linear interpolation of latency_p50 between known points, inside
+        # only. Explicit prev + (next-prev) * frac with frac computed from
+        # epoch-second longs — the exact double ops the Spark operator does
+        # (pandas' interpolate uses a different float path; last-ulp drift).
+        vals = gi["latency_p50"].astype(float).to_numpy()
+        t = full.asi8 // 1_000_000_000  # epoch seconds
+        known = ~np.isnan(vals)
+        interp = np.full(len(vals), np.nan)
+        interp[known] = vals[known]
+        kidx = np.where(known)[0]
+        for a, b in zip(kidx[:-1], kidx[1:]):
+            for i in range(a + 1, b):
+                frac = float(t[i] - t[a]) / float(t[b] - t[a])
+                interp[i] = vals[a] + (vals[b] - vals[a]) * frac
         rows.append(
             pd.DataFrame(
                 {
@@ -101,7 +114,7 @@ def oracle_gapfill_1m(rollup_1m: pd.DataFrame) -> pd.DataFrame:
                     "turn_count": tc.to_numpy(),
                     "is_gap": (~present).to_numpy(),
                     "turn_count_locf": locf.to_numpy(),
-                    "latency_interp": interp.to_numpy(),
+                    "latency_interp": interp,
                 }
             )
         )

@@ -1,0 +1,242 @@
+"""Gorilla-style time-series compression: delta-of-delta timestamps +
+XOR-encoded float values (Pelkonen et al., "Gorilla: A Fast, Scalable,
+In-Memory Time Series Database", VLDB 2015, §4.1).
+
+The reference engine has nothing comparable (GMQL stores text files,
+``StoreTABRD.scala:23-95``); this is the north-rule storage codec for
+rolled-up points. Layout per stream:
+
+timestamps (µs int64):
+    [64b first ts][zigzag-varint-free dod blocks]
+    dod == 0                  -> '0'
+    dod in [-63, 64]          -> '10'  + 7  bits (dod + 63)
+    dod in [-255, 256]        -> '110' + 9  bits (dod + 255)
+    dod in [-2047, 2048]      -> '1110'+ 12 bits (dod + 2047)
+    else                      -> '1111'+ 64 bits raw two's complement
+
+values (float64 bit patterns):
+    [64b first value]
+    xor == 0                  -> '0'
+    leading/trailing window fits previous -> '10' + meaningful bits
+    else '11' + 5b n_leading + 6b n_meaningful + meaningful bits
+
+Encoders/decoders are pure numpy+python over per-stream arrays (bounded:
+one stream = one (conv bucket, tier) series); the Spark integration is a
+grouped-map Arrow UDF (``applyInPandas``) so no per-row Python crosses
+the JVM boundary — batches arrive as numpy arrays.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+_U64 = (1 << 64) - 1
+
+
+class _BitWriter:
+    __slots__ = ("acc", "nbits")
+
+    def __init__(self):
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, bits: int):
+        self.acc = (self.acc << bits) | (value & ((1 << bits) - 1))
+        self.nbits += bits
+
+    def bytes(self) -> bytes:
+        pad = (-self.nbits) % 8
+        total = self.nbits + pad
+        acc = self.acc << pad
+        return acc.to_bytes(total // 8, "big") if total else b""
+
+
+class _BitReader:
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes):
+        self.data = int.from_bytes(data, "big") if data else 0
+        self.pos = len(data) * 8
+
+    def read(self, bits: int) -> int:
+        self.pos -= bits
+        return (self.data >> self.pos) & ((1 << bits) - 1)
+
+
+def encode_timestamps(ts_us: np.ndarray) -> bytes:
+    """Delta-of-delta encode int64 microsecond timestamps (sorted)."""
+    ts = np.asarray(ts_us, dtype=np.int64)
+    w = _BitWriter()
+    if len(ts) == 0:
+        return b""
+    w.write(int(ts[0]) & _U64, 64)
+    if len(ts) == 1:
+        return w.bytes()
+    deltas = np.diff(ts)
+    dods = np.diff(deltas, prepend=deltas[0] - deltas[0])
+    dods[0] = deltas[0]  # first delta stored as a dod against 0
+    for dod in dods.tolist():
+        if dod == 0:
+            w.write(0, 1)
+        elif -63 <= dod <= 64:
+            w.write(0b10, 2)
+            w.write(dod + 63, 7)
+        elif -255 <= dod <= 256:
+            w.write(0b110, 3)
+            w.write(dod + 255, 9)
+        elif -2047 <= dod <= 2048:
+            w.write(0b1110, 4)
+            w.write(dod + 2047, 12)
+        else:
+            w.write(0b1111, 4)
+            w.write(dod & _U64, 64)
+    return w.bytes()
+
+
+def decode_timestamps(data: bytes, n: int) -> np.ndarray:
+    """Inverse of :func:`encode_timestamps`; ``n`` = point count."""
+    out = np.empty(n, dtype=np.int64)
+    if n == 0:
+        return out
+    r = _BitReader(data)
+    first = r.read(64)
+    if first >= 1 << 63:
+        first -= 1 << 64
+    out[0] = first
+    delta = 0
+    for i in range(1, n):
+        if r.read(1) == 0:
+            dod = 0
+        elif r.read(1) == 0:
+            dod = r.read(7) - 63
+        elif r.read(1) == 0:
+            dod = r.read(9) - 255
+        elif r.read(1) == 0:
+            dod = r.read(12) - 2047
+        else:
+            dod = r.read(64)
+            if dod >= 1 << 63:
+                dod -= 1 << 64
+        delta += dod
+        out[i] = out[i - 1] + delta
+    return out
+
+
+def encode_values(vals: np.ndarray) -> bytes:
+    """XOR-encode float64 values (bit patterns; NaN/inf safe)."""
+    bits = np.asarray(vals, dtype=np.float64).view(np.uint64)
+    w = _BitWriter()
+    if len(bits) == 0:
+        return b""
+    w.write(int(bits[0]), 64)
+    prev = int(bits[0])
+    lead, trail = 65, 65  # invalid -> first non-zero xor writes a header
+    for cur in bits[1:].tolist():
+        cur = int(cur)
+        xor = prev ^ cur
+        if xor == 0:
+            w.write(0, 1)
+        else:
+            xl = 64 - xor.bit_length()  # leading zeros
+            xt = (xor & -xor).bit_length() - 1  # trailing zeros
+            xl = min(xl, 31)
+            if lead <= 64 and xl >= lead and xt >= trail:
+                w.write(0b10, 2)
+                w.write(xor >> trail, 64 - lead - trail)
+            else:
+                lead, trail = xl, xt
+                nsig = 64 - xl - xt
+                w.write(0b11, 2)
+                w.write(xl, 5)
+                w.write(nsig & 0x3F, 6)  # 64 encoded as 0 (nsig in 1..64)
+                w.write(xor >> trail, nsig)
+        prev = cur
+    return w.bytes()
+
+
+def decode_values(data: bytes, n: int) -> np.ndarray:
+    """Inverse of :func:`encode_values`."""
+    out = np.empty(n, dtype=np.uint64)
+    if n == 0:
+        return out.view(np.float64)
+    r = _BitReader(data)
+    prev = r.read(64)
+    out[0] = prev
+    lead = trail = 0
+    for i in range(1, n):
+        if r.read(1) == 0:
+            out[i] = prev
+            continue
+        if r.read(1) == 1:
+            lead = r.read(5)
+            nsig = r.read(6)
+            if nsig == 0:
+                nsig = 64
+            trail = 64 - lead - nsig
+        else:
+            nsig = 64 - lead - trail
+        xor = r.read(nsig) << trail
+        prev ^= xor
+        out[i] = prev
+    return out.view(np.float64)
+
+
+# ------------------------------------------------------- Spark integration
+
+def compress_series(
+    df,
+    keys=("conv_id",),
+    ts_col: str = "window_start",
+    value_col: str = "latency_p50",
+):
+    """Grouped-map Arrow UDF: one output row per key group with the
+    packed streams. Partitioning: ``groupBy(keys)`` — same hash shuffle
+    as the rollup that produced the input tier."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    keys = list(keys)
+    schema = (
+        ", ".join(f"{k} string" for k in keys)
+        + ", n_points long, ts_bytes binary, val_bytes binary"
+    )
+
+    def _encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        ts_us = pdf[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        vals = pdf[value_col].to_numpy(dtype=np.float64)
+        return pd.DataFrame(
+            {
+                **{k: [pdf[k].iloc[0]] for k in keys},
+                "n_points": [len(pdf)],
+                "ts_bytes": [encode_timestamps(ts_us)],
+                "val_bytes": [encode_values(vals)],
+            }
+        )
+
+    return df.groupBy(*keys).applyInPandas(_encode, schema=schema)
+
+
+def decompress_series(df, keys=("conv_id",)):
+    """Unpack streams back to (keys, window_start, value) rows via a
+    vectorized Arrow batch UDF (``mapInPandas``)."""
+    keys = list(keys)
+    schema = ", ".join(f"{k} string" for k in keys) + ", window_start timestamp, value double"
+
+    def _decode(batches):
+        for pdf in batches:
+            frames = []
+            for _, row in pdf.iterrows():
+                n = int(row["n_points"])
+                ts = decode_timestamps(row["ts_bytes"], n).astype("datetime64[us]")
+                vals = decode_values(row["val_bytes"], n)
+                frames.append(
+                    pd.DataFrame(
+                        {**{k: row[k] for k in keys}, "window_start": ts, "value": vals}
+                    )
+                )
+            yield pd.concat(frames) if frames else pd.DataFrame(
+                columns=[*keys, "window_start", "value"]
+            )
+
+    return df.mapInPandas(_decode, schema=schema)

@@ -1,0 +1,98 @@
+"""Gorilla codec: byte-exact round-trips (BASELINE.md gate) — unit,
+property (hypothesis), and through the Spark grouped-map path."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from gmql_spark.compression.gorilla import (
+    compress_series,
+    decode_timestamps,
+    decode_values,
+    decompress_series,
+    encode_timestamps,
+    encode_values,
+)
+
+
+def roundtrip_ts(arr):
+    a = np.asarray(arr, dtype=np.int64)
+    assert decode_timestamps(encode_timestamps(a), len(a)).tolist() == a.tolist()
+
+
+def roundtrip_vals(arr):
+    a = np.asarray(arr, dtype=np.float64)
+    got = decode_values(encode_values(a), len(a))
+    assert got.view(np.uint64).tolist() == a.view(np.uint64).tolist()  # bit-exact, NaN-safe
+
+
+def test_ts_basic():
+    roundtrip_ts([])
+    roundtrip_ts([1_700_000_000_000_000])
+    roundtrip_ts([0, 60_000_000, 120_000_000, 180_000_000])  # constant delta -> dod 0
+    roundtrip_ts([0, 1, 3, 100, 1_000_000_000, 1_000_000_001])
+    roundtrip_ts([-5_000_000, 0, 5_000_000])
+
+
+def test_vals_basic():
+    roundtrip_vals([])
+    roundtrip_vals([3.14])
+    roundtrip_vals([1.0, 1.0, 1.0])  # xor == 0 path
+    roundtrip_vals([1.0, 1.5, 1.25, 1.375])  # window-reuse path
+    roundtrip_vals([0.0, -0.0, np.nan, np.inf, -np.inf, 1e-308, 1e308])
+
+
+def test_compression_ratio_on_regular_series():
+    """Regular 1-minute cadence must compress far below 8 bytes/point."""
+    ts = np.arange(10_000, dtype=np.int64) * 60_000_000 + 1_700_000_000_000_000
+    enc = encode_timestamps(ts)
+    assert len(enc) < 10_000 * 0.3  # ~1 bit/point for constant cadence
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**52), min_size=0, max_size=120
+    )
+)
+def test_ts_property(xs):
+    roundtrip_ts(np.sort(np.asarray(xs, dtype=np.int64)))
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.floats(allow_nan=True, allow_infinity=True, width=64), min_size=0, max_size=120
+    )
+)
+def test_vals_property(xs):
+    roundtrip_vals(xs)
+
+
+def test_spark_roundtrip(spark):
+    """rollup tier -> compress_series -> decompress_series == original."""
+    from gmql_spark import datagen
+    from gmql_spark.operators.rollup import rollup
+
+    sdf = datagen.transcripts_spark(spark, n_conv=40)
+    tier = rollup(sdf, "1m").select("conv_id", "window_start", "turn_count")
+    tier = tier.withColumn("val", tier["turn_count"].cast("double"))
+    packed = compress_series(tier, keys=["conv_id"], ts_col="window_start", value_col="val")
+    unpacked = decompress_series(packed, keys=["conv_id"]).toPandas()
+    orig = tier.select("conv_id", "window_start", "val").toPandas()
+    o = orig.sort_values(["conv_id", "window_start"]).reset_index(drop=True)
+    u = (
+        unpacked.rename(columns={"value": "val"})
+        .sort_values(["conv_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(o, u[o.columns], check_dtype=False)
+    # compression must beat raw 16 bytes/point on this regular-ish data
+    sizes = packed.selectExpr(
+        "sum(n_points) as n", "sum(length(ts_bytes) + length(val_bytes)) as b"
+    ).collect()[0]
+    assert sizes.b < sizes.n * 16

@@ -256,6 +256,107 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-trigram Jaccard near-dup pairs (operators.dedup);
+    restricted to doc_id < 2000 to bound the shingle join in the gate."""
+    from gmql_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    return ngram_jaccard_pairs(docs, threshold=0.5, n=3)
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (no SQL oracle: xxhash64 is
+    Spark-specific; the planted-duplicate pytest covers correctness)."""
+    from gmql_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    return minhash_lsh_pairs(docs, num_perm=64, bands=16, threshold=0.5)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (no SQL oracle: xxhash64-based)."""
+    from gmql_spark.operators.dedup import simhash_near_pairs
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    return simhash_near_pairs(docs, max_hamming=3)
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document fingerprint (md5 of normalized text)."""
+    from gmql_spark.operators.textstats import fingerprint
+
+    docs = _read(spark, sf_dir, "documents")
+    return fingerprint(docs).select("doc_id", "fingerprint_md5")
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality features (length/punct/digit ratios)."""
+    from gmql_spark.operators.textstats import quality_features
+
+    docs = _read(spark, sf_dir, "documents")
+    return quality_features(docs).select(
+        "doc_id", "n_chars", "n_tokens", "punct_ratio", "digit_ratio"
+    )
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID heuristic."""
+    from gmql_spark.operators.textstats import language_id
+
+    docs = _read(spark, sf_dir, "documents")
+    return language_id(docs).select("doc_id", "lang_pred", "lang_score")
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for the first 20 vectors
+    (similarity-search baseline; zip_with/aggregate JVM dot products)."""
+    from gmql_spark.operators.similarity import cosine_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    return cosine_topk(q, emb, k=5)
+
+
+def q_group_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GroupRD analogue (``GroupRD.scala:17-66``): group + aggregate with
+    exact decimal sums (TPC-H Q1 shape)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+
+
+def q_join_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta JoinBy analogue (``MetaJoinMJD2.scala:26-157``): star join
+    orders ⨝ customer ⨝ nation with broadcast dims, per-nation stats."""
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    return j.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+    )
+
+
+def q_project_extend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ProjectRD with computed expression (``RegionExtension.scala:7-46``
+    arithmetic tree ≙ Catalyst expression): per-row revenue."""
+    li = _read(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("revenue"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: per-user 1-minute rollup."""
     return q_rollup_1m(spark, "/root/testdata/sf0.001")
@@ -278,6 +379,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cover_accumulation": q_cover_accumulation,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_pairs": q_simhash_pairs,
+        "fingerprint": q_fingerprint,
+        "quality": q_quality,
+        "language_id": q_language_id,
+        "cosine_topk": q_cosine_topk,
+        "group_lineitem": q_group_lineitem,
+        "join_dims": q_join_dims,
+        "project_extend": q_project_extend,
     }
 
 
@@ -450,5 +561,124 @@ def oracle_sql() -> dict[str, str]:
                    END AS n_tokens,
                    CAST(length(text) AS BIGINT) AS n_chars_actual
             FROM documents
+        """,
+        "ngram_jaccard": """
+            WITH t AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                FROM documents WHERE doc_id < 2000
+            ), sh AS (
+                SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                FROM t, LATERAL (
+                    SELECT unnest(generate_series(1, len(w) - 2)) AS i
+                ) ix
+                WHERE len(w) >= 3
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+            ), common AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, n_common,
+                   sa.n_sh AS n_a, sb.n_sh AS n_b,
+                   CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE)
+                       AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+        """,
+        "fingerprint": """
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint_md5
+            FROM documents
+        """,
+        "quality": """
+            WITH q AS (
+                SELECT doc_id, text,
+                       CAST(length(text) AS BIGINT) AS n_chars,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                       END AS n_tokens,
+                       CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+                            AS BIGINT) AS n_punct,
+                       CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                            AS BIGINT) AS n_digit
+                FROM documents
+            )
+            SELECT doc_id, n_chars, n_tokens,
+                   CASE WHEN n_chars > 0
+                        THEN CAST(n_punct AS DOUBLE)/CAST(n_chars AS DOUBLE) ELSE 0.0
+                   END AS punct_ratio,
+                   CASE WHEN n_chars > 0
+                        THEN CAST(n_digit AS DOUBLE)/CAST(n_chars AS DOUBLE) ELSE 0.0
+                   END AS digit_ratio
+            FROM q
+        """,
+        "language_id": """
+            WITH w AS (
+                SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+                FROM documents
+            ), scores AS (
+                SELECT doc_id, l.lang,
+                       CAST(len(list_filter(toks, x -> list_contains(l.markers, x))) AS BIGINT)
+                           AS score
+                FROM w, LATERAL (
+                    SELECT * FROM (VALUES
+                        ('de', ['der','die','und','das','ist','ein','nicht']),
+                        ('en', ['the','and','of','to','a','in','is']),
+                        ('es', ['el','la','de','que','y','en','un']),
+                        ('it', ['il','la','di','che','e','un','per'])
+                    ) AS v(lang, markers)
+                ) l
+            ), best AS (
+                SELECT doc_id, lang, score,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, lang DESC) AS rn
+                FROM scores
+            )
+            SELECT doc_id,
+                   CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred,
+                   score AS lang_score
+            FROM best WHERE rn = 1
+        """,
+        "cosine_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id < 20
+            ), c AS (
+                SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+                FROM embeddings
+            ), scored AS (
+                SELECT query_id, neighbor_id,
+                       list_cosine_similarity(qv, cv) AS sim
+                FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+            ), ranked AS (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, neighbor_id ASC) AS rank
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+        """,
+        "group_lineitem": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+                   min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "join_dims": """
+            SELECT n_name, count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1
+        """,
+        "project_extend": """
+            SELECT l_orderkey, l_linenumber,
+                   l_extendedprice * (1.0 - l_discount) AS revenue
+            FROM lineitem
         """,
     }

@@ -1,0 +1,199 @@
+"""Deduplication operators for large-scale text corpora.
+
+Beyond the reference's operator set (GMQL dedups only whole rows in
+DISTINCT join variants, ``GenometricJoin.scala:205-233``); these are the
+training-data-pipeline staples. All variants are pure DataFrame ops —
+hashing via ``xxhash64``/``md5`` (JVM), set ops via explode + groupBy —
+so they scale with the shuffle, no Python in the hot path.
+
+- exact_dedup: hash-groupBy (one shuffle on the text hash).
+- ngram_jaccard_pairs: exact word-n-gram Jaccard via shingle equi-join
+  (the verification step of any MinHash pipeline; also usable alone at
+  moderate scale).
+- minhash_lsh_pairs: shingle -> K minhash perms -> B bands -> bucket
+  equi-join; candidates verified with the estimated Jaccard
+  (#equal perms / K). The classic scale path: candidate generation cost
+  ~ #near-duplicate pairs, not O(n^2).
+- simhash_64: 64-bit SimHash fingerprints + banded near-dup pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One keeper (min id) per distinct text; n_dups = group size."""
+    return (
+        df.groupBy(text_col)
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+        .select(F.md5(text_col).alias("text_hash"), "keep_id", "n_dups")
+    )
+
+
+def word_ngrams(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3):
+    """Distinct word n-gram shingles per document: (id, shingle)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    shingle = lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))  # noqa: E731
+    return (
+        df.filter(F.size(toks) >= n)
+        .select(F.col(id_col), F.explode(F.transform(idx, shingle)).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs (id_a < id_b, jaccard >= t).
+
+    shingle equi-join -> common count; sizes joined in; jaccard =
+    common / (|A| + |B| - common), computed as double division of exact
+    longs (deterministic)."""
+    sh = word_ngrams(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, on="shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_perm: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """K minhash values per doc: perm i = min over shingles of
+    xxhash64(shingle, seed=i). One explode + one groupBy with K min
+    aggregates — all codegen."""
+    sh = word_ngrams(df, id_col, text_col, n)
+    aggs = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}") for i in range(num_perm)]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash LSH.
+
+    B bands of R=K/B rows: docs sharing any band bucket become
+    candidates; est_jaccard = fraction of equal minhash perms. Bucket
+    join cost is proportional to true collisions (banding), not n^2."""
+    assert num_perm % bands == 0
+    rows = num_perm // bands
+    sig = minhash_signatures(df, num_perm, id_col, text_col, n).cache()
+    mh_cols = [f"mh_{i}" for i in range(num_perm)]
+    band_cols = [
+        F.xxhash64(*[F.col(mh_cols[b * rows + r]) for r in range(rows)], F.lit(b)).alias("bucket")
+        for b in range(bands)
+    ]
+    buckets = sig.select(
+        F.col(id_col),
+        F.posexplode(F.array(*band_cols)).alias("band", "bucket"),
+    )
+    a, b_ = buckets.alias("a"), buckets.alias("b")
+    cands = (
+        a.join(b_, on=["band", "bucket"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col(id_col).alias("id_a"), *[F.col(c).alias(f"a_{c}") for c in mh_cols])
+    sb = sig.select(F.col(id_col).alias("id_b"), *[F.col(c).alias(f"b_{c}") for c in mh_cols])
+    eq = sum(F.when(F.col(f"a_{c}") == F.col(f"b_{c}"), 1).otherwise(0) for c in mh_cols)
+    out = (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", (eq / F.lit(float(num_perm))).cast("double"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "est_jaccard")
+
+
+def simhash_64(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per doc from token hashes: bit b of the fingerprint
+    is the sign of sum over tokens of ±1 for that bit. 64 conditional-sum
+    aggregates, fully codegen."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    t = df.select(F.col(id_col), F.explode(toks).alias("tok")).filter(F.length("tok") > 0)
+    h = F.xxhash64("tok")
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s_{b}")
+        for b in range(64)
+    ]
+    per_doc = t.groupBy(id_col).agg(*aggs)
+    fp = None
+    for b in range(64):
+        bit = F.when(F.col(f"s_{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        fp = term if fp is None else fp.bitwiseXOR(term)  # disjoint bits: xor == or
+    return per_doc.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= d via 4x16-bit banding
+    (pigeonhole: d<=3 pairs share at least one of 4 bands)."""
+    fp = simhash_64(df, id_col, text_col).cache()
+    bands = [
+        (F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))).alias("chunk")
+        for i in range(4)
+    ]
+    buckets = fp.select(F.col(id_col), "simhash", F.posexplode(F.array(*bands)).alias("band", "chunk"))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cands = (
+        a.join(b, on=["band", "chunk"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cands.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -78,11 +78,13 @@ def rollup(
     if with_gaps:
         df = with_gap_seconds(df, key=key, ts=ts)
     win = F.window(ts, TIER_DURATION[tier])
+    # one percentile buffer for all three points (array form), split after
+    pct_arr = F.percentile("gap_s", F.array(*[F.lit(p) for p in PCTS])).alias("_pcts")
     aggs = [
         F.count(F.lit(1)).alias("turn_count"),
         counts_map(F.col("role"), role_values).alias("role_counts"),
         counts_map(F.col("tool"), tool_values).alias("tool_counts"),
-        *[F.percentile("gap_s", F.lit(p)).alias(n) for p, n in zip(PCTS, PCT_NAMES)],
+        pct_arr,
         F.count("gap_s").alias("latency_cnt"),
         # exact integer-µs sum: order-independent across partial aggs AND
         # across tier cascades (long addition is associative; double is not)
@@ -100,7 +102,7 @@ def rollup(
             "turn_count",
             "role_counts",
             "tool_counts",
-            *PCT_NAMES,
+            *[F.col("_pcts")[i].alias(n) for i, n in enumerate(PCT_NAMES)],
             "latency_cnt",
             "latency_sum_us",
             "first_ts",
@@ -157,8 +159,12 @@ def percentiles_for_tier(
     win = F.window(ts, TIER_DURATION[tier])
     return (
         raw.groupBy(key, win.alias("w"))
-        .agg(*[F.percentile("gap_s", F.lit(p)).alias(n) for p, n in zip(PCTS, PCT_NAMES)])
-        .select(key, F.col("w.start").alias("window_start"), *PCT_NAMES)
+        .agg(F.percentile("gap_s", F.array(*[F.lit(p) for p in PCTS])).alias("_pcts"))
+        .select(
+            key,
+            F.col("w.start").alias("window_start"),
+            *[F.col("_pcts")[i].alias(n) for i, n in enumerate(PCT_NAMES)],
+        )
     )
 
 
@@ -198,16 +204,26 @@ def rollup_all_tiers(
     tiers: Sequence[str] = ("1m", "1h", "1d"),
     key: str = "conv_id",
     ts: str = "ts",
+    role_values: Sequence[str] | None = None,
+    tool_values: Sequence[str] | None = None,
+    cache_gaps: bool = False,
 ) -> dict[str, DataFrame]:
     """The retention cascade raw → 1m → 1h → 1d. Gap column is computed
     once; the raw-with-gaps frame feeds the 1m rollup and each tier's
-    percentile pass."""
+    exact-percentile pass (``cache_gaps=True`` persists it across those
+    consumers — the common-subplan reuse the reference does with
+    ``intermediateResult`` memoization, ``IROperator.scala:11``)."""
     raw_g = with_gap_seconds(raw, key=key, ts=ts)
+    if cache_gaps:
+        raw_g = raw_g.persist()
     out: dict[str, DataFrame] = {}
     prev = None
     for t in tiers:
         if prev is None:
-            out[t] = rollup(raw_g, t, key=key, ts=ts, with_gaps=False)
+            out[t] = rollup(
+                raw_g, t, key=key, ts=ts, with_gaps=False,
+                role_values=role_values, tool_values=tool_values,
+            )
         else:
             out[t] = rollup_tier_from(out[prev], raw_g, t, key=key, ts=ts, with_gaps=False)
         prev = t

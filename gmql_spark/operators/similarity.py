@@ -1,0 +1,124 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k with JVM higher-order functions
+(``zip_with`` dot product + ``aggregate`` fold — no Python). Scale path:
+LSH-bucketed variant (random-hyperplane signs -> band buckets) so the
+candidate join is proportional to collisions, not |Q|x|N|.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gmql_spark.operators.order import topk_per_key
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding", out: str = "_norm") -> DataFrame:
+    return df.withColumn(out, F.sqrt(_dot(F.col(vec_col), F.col(vec_col))))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    queries is expected small (broadcast); corpus arbitrary. Output:
+    (query_id, neighbor_id, rank). Self-matches excluded."""
+    q = with_norm(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")), "_qv", "_qn"
+    )
+    c = with_norm(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
+        "_cv",
+        "_cn",
+    )
+    sim = _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+    )
+    out = topk_per_key(
+        scored,
+        keys=["query_id"],
+        order_by=[F.col("sim").desc(), F.col("neighbor_id").asc()],
+        k=k,
+        rank_col="rank",
+    )
+    return out.select("query_id", "neighbor_id", "rank")
+
+
+def lsh_bucket_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_planes: int = 16,
+    n_tables: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH (sign sketch) into
+    ``n_tables`` bucket tables; exact cosine re-rank within candidate
+    buckets. Recall < 1 by construction; candidates shrink the join by
+    ~2^n_planes per table."""
+    import numpy as np
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+
+    def sig_col(df, vc):
+        sigs = []
+        for t in range(n_tables):
+            bits = None
+            for p in range(n_planes):
+                w = F.array(*[F.lit(float(x)) for x in planes[t, p]])
+                bit = (_dot(F.col(vc), w) > 0).cast("long")
+                term = F.shiftleft(bit, p)
+                bits = term if bits is None else bits + term
+            sigs.append(bits)
+        return F.array(*sigs)
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    qb = q.select(
+        "query_id", "_qv", F.posexplode(sig_col(q, "_qv")).alias("table", "bucket")
+    )
+    cb = c.select(
+        "neighbor_id", "_cv", F.posexplode(sig_col(c, "_cv")).alias("table", "bucket")
+    )
+    cands = (
+        qb.join(cb, on=["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "_qv", "neighbor_id", "_cv")
+        .distinct()
+    )
+    qn = F.sqrt(_dot(F.col("_qv"), F.col("_qv")))
+    cn = F.sqrt(_dot(F.col("_cv"), F.col("_cv")))
+    sim = _dot(F.col("_qv"), F.col("_cv")) / (qn * cn)
+    scored = cands.select("query_id", "neighbor_id", sim.alias("sim"))
+    out = topk_per_key(
+        scored,
+        keys=["query_id"],
+        order_by=[F.col("sim").desc(), F.col("neighbor_id").asc()],
+        k=k,
+        rank_col="rank",
+    )
+    return out.select("query_id", "neighbor_id", "rank", "sim")

@@ -1,0 +1,113 @@
+"""Dedup family + similarity search + text stats, with planted ground
+truth (the oracle here is construction: we inject known duplicates)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gmql_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from gmql_spark.operators.similarity import cosine_topk, lsh_bucket_topk
+from gmql_spark.operators.textstats import fingerprint, language_id, quality_features
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "pack my box with five dozen liquor jugs and some extra bottles",
+        "sphinx of black quartz judge my vow said the old wise man",
+        "il gatto dorme sulla sedia vicino alla finestra di casa e il cane",
+        "der hund läuft schnell durch den park und die katze ist nicht da",
+    ]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append((i * 10, t))
+        rows.append((i * 10 + 1, t))  # exact duplicate
+        words = t.split()
+        words[3] = "CHANGED"
+        rows.append((i * 10 + 2, " ".join(words)))  # near duplicate
+        rows.append((i * 10 + 3, f"totally unrelated text number {i} with random words qq{i}"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = exact_dedup(docs).toPandas()
+    dups = out[out.n_dups > 1]
+    assert len(dups) == 5 and (dups.n_dups == 2).all()
+    assert set(dups.keep_id) == {0, 10, 20, 30, 40}
+
+
+def test_ngram_jaccard_finds_planted_pairs(docs):
+    pairs = ngram_jaccard_pairs(docs, threshold=0.9, n=3).toPandas()
+    exact = {(r.id_a, r.id_b) for r in pairs[pairs.jaccard == 1.0].itertuples()}
+    assert {(0, 1), (10, 11), (20, 21), (30, 31), (40, 41)} <= exact
+    # near-dup pair (one word changed) found at a lower threshold
+    lower = ngram_jaccard_pairs(docs, threshold=0.3, n=3).toPandas()
+    assert any((a // 10 == b // 10) and (b % 10 == 2) for a, b in zip(lower.id_a, lower.id_b))
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(docs):
+    pairs = minhash_lsh_pairs(docs, num_perm=64, bands=16, threshold=0.5).toPandas()
+    got = {(r.id_a, r.id_b) for r in pairs.itertuples()}
+    assert {(0, 1), (10, 11), (20, 21), (30, 31), (40, 41)} <= got
+    ej = {(r.id_a, r.id_b): r.est_jaccard for r in pairs.itertuples()}
+    assert all(ej[p] == 1.0 for p in [(0, 1), (10, 11)])
+
+
+def test_simhash_near_pairs(docs):
+    pairs = simhash_near_pairs(docs, max_hamming=10).toPandas()
+    got = {(r.id_a, r.id_b) for r in pairs.itertuples()}
+    assert {(0, 1), (10, 11), (20, 21), (30, 31), (40, 41)} <= got  # exact dups: hamming 0
+
+
+def test_cosine_topk_matches_numpy(spark):
+    rng = np.random.Generator(np.random.PCG64(3))
+    vecs = rng.standard_normal((50, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    out = cosine_topk(df.filter(F.col("vec_id") < 5), df, k=3).toPandas()
+    # numpy oracle
+    v = vecs.astype(np.float64)
+    sims = (v @ v.T) / (np.linalg.norm(v, axis=1)[:, None] * np.linalg.norm(v, axis=1)[None, :])
+    for q in range(5):
+        s = sims[q].copy()
+        s[q] = -np.inf
+        top = np.argsort(-s, kind="stable")[:3]
+        got = out[out.query_id == q].sort_values("rank").neighbor_id.tolist()
+        assert got == top.tolist(), f"query {q}: {got} vs {top}"
+
+
+def test_lsh_topk_recall(spark):
+    rng = np.random.Generator(np.random.PCG64(4))
+    vecs = rng.standard_normal((200, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    q = df.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(q, df, k=5).toPandas()
+    approx = lsh_bucket_topk(q, df, k=5, n_planes=6, n_tables=16, dim=16).toPandas()
+    e = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.itertuples()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, f"LSH recall too low: {recall}"
+
+
+def test_textstats(docs):
+    qf = quality_features(docs).toPandas()
+    assert (qf.n_tokens > 0).all() and qf.quality_score.between(0, 1).all()
+    li = language_id(docs).toPandas().set_index("doc_id")
+    assert li.loc[0, "lang_pred"] == "en"
+    assert li.loc[30, "lang_pred"] == "it"
+    assert li.loc[40, "lang_pred"] == "de"
+    fp = fingerprint(docs).toPandas()
+    assert fp.loc[fp.doc_id == 0, "fingerprint"].iloc[0] == fp.loc[fp.doc_id == 1, "fingerprint"].iloc[0]

@@ -1,0 +1,88 @@
+"""Streaming rollup == batch rollup on the same files (availableNow
+trigger); multimodal Arrow plumbing with the deterministic fake decoder."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gmql_spark import datagen
+from gmql_spark.operators.multimodal import extract_features, probe_metadata, sample_frames
+from gmql_spark.operators.rollup import rollup
+from gmql_spark.streaming.rollup_stream import stream_rollup
+
+
+def test_stream_rollup_matches_batch(spark, tmp_path):
+    raw = datagen.transcripts_spark(spark, n_conv=40)
+    src = str(tmp_path / "src")
+    raw.write.parquet(src)
+
+    stream = spark.readStream.schema(raw.schema).parquet(src)
+    agg = stream_rollup(stream, "1h", watermark="0 seconds")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .format("memory")
+        .queryName("stream_rollup_test")
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = (
+        spark.sql("select * from stream_rollup_test")
+        .toPandas()
+        .sort_values(["conv_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        rollup(raw, "1h")
+        .select(
+            "conv_id", "window_start", "window_end", "turn_count",
+            "role_counts", "tool_counts", "first_ts", "last_ts",
+        )
+        .toPandas()
+        .sort_values(["conv_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    # availableNow + append + 0s watermark emits all windows
+    pd.testing.assert_frame_equal(
+        got.drop(columns=["role_counts", "tool_counts"]),
+        exp.drop(columns=["role_counts", "tool_counts"])[
+            [c for c in got.columns if c not in ("role_counts", "tool_counts")]
+        ],
+        check_dtype=False,
+    )
+    for i in range(len(got)):
+        assert dict(got.role_counts[i]) == dict(exp.role_counts[i])
+
+
+@pytest.fixture()
+def media(spark):
+    rows = [
+        (i, "image", bytes([i % 256]) * (100 + i), "image/fake", (None, None, 5000, None))
+        for i in range(20)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, mime string, "
+        "meta struct<width:int, height:int, duration_ms:int, sample_rate:int>",
+    )
+
+
+def test_multimodal_features_deterministic(spark, media):
+    f1 = extract_features(media, dim=8).toPandas().sort_values("media_id")
+    f2 = extract_features(media, dim=8).toPandas().sort_values("media_id")
+    assert all(len(v) == 8 for v in f1.feature)
+    for a, b in zip(f1.feature, f2.feature):
+        assert np.allclose(a, b)
+
+
+def test_multimodal_probe_and_frames(spark, media):
+    meta = probe_metadata(media).toPandas()
+    assert (meta.n_bytes == [100 + i for i in meta.media_id]).all()
+    frames = sample_frames(media.select("media_id", F.col("meta.duration_ms").alias("duration_ms")))
+    pf = frames.toPandas()
+    assert set(pf[pf.media_id == 0].frame_ms) == {0, 1000, 2000, 3000, 4000}

@@ -357,6 +357,68 @@ def q_project_extend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_map_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MAP over arbitrary reference intervals (GenometricMap,
+    ``GenometricMap71.scala:23-203``): each purchase opens a 1h interval;
+    count + aggregate same-user clicks inside it, zero-filled."""
+    from gmql_spark.operators.map_agg import map_intervals
+
+    ev = _read(spark, sf_dir, "events")
+    refs = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("start_ts"),
+                (F.col("ts") + F.expr("interval 1 hour")).alias("end_ts"))
+        .distinct()
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    out = map_intervals(
+        refs,
+        clicks,
+        aggs=[
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("click_sum"),
+            F.max("value").alias("click_max"),
+        ],
+        keys=["user_id"],
+        bucket_s=3600.0,
+    )
+    return out.select("user_id", "start_ts", "end_ts", "n_events", "click_sum", "click_max")
+
+
+def q_flat_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COVER FLAT variant (``GMAP4.scala:83-84``): islands of >=3
+    concurrent 10-min event intervals, widened to contributor footprint."""
+    from gmql_spark.operators.cover import flat_cover
+
+    ev = _read(spark, sf_dir, "events")
+    iv = ev.select(
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("interval 600 seconds")).alias("end_ts"),
+    )
+    return flat_cover(iv, min_acc=3)
+
+
+def q_meta_accessor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SelectRD with MetaAccessor (``PredicateRD.scala:23-64``): filter
+    rows by a per-key statistic. The reference collects metadata to the
+    driver; here it's a join against the derived per-user dim."""
+    ev = _read(spark, sf_dir, "events")
+    thr = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("threshold")
+        )
+    )
+    return (
+        ev.join(F.broadcast(thr), "user_id")
+        .filter(F.col("value") >= F.col("threshold"))
+        .select("event_id", "user_id", "value", "threshold")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: per-user 1-minute rollup."""
     return q_rollup_1m(spark, "/root/testdata/sf0.001")
@@ -389,6 +451,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_lineitem": q_group_lineitem,
         "join_dims": q_join_dims,
         "project_extend": q_project_extend,
+        "map_intervals": q_map_intervals,
+        "flat_cover": q_flat_cover,
+        "meta_accessor": q_meta_accessor,
     }
 
 
@@ -680,5 +745,69 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, l_linenumber,
                    l_extendedprice * (1.0 - l_discount) AS revenue
             FROM lineitem
+        """,
+        "map_intervals": """
+            WITH p AS (
+                SELECT DISTINCT user_id, ts AS start_ts,
+                       ts + INTERVAL '1 hour' AS end_ts
+                FROM events WHERE event_type = 'purchase'
+            ), c AS (
+                SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+            )
+            SELECT p.user_id, p.start_ts, p.end_ts,
+                   count(c.ts) AS n_events,
+                   CAST(sum(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE) AS click_sum,
+                   max(c.value) AS click_max
+            FROM p LEFT JOIN c
+              ON c.user_id = p.user_id AND c.ts >= p.start_ts AND c.ts < p.end_ts
+            GROUP BY 1, 2, 3
+        """,
+        "flat_cover": """
+            WITH iv AS (
+                SELECT ts AS start_ts, ts + INTERVAL '600 seconds' AS end_ts FROM events
+            ), pts AS (
+                SELECT start_ts AS t, 1 AS d FROM iv
+                UNION ALL SELECT end_ts AS t, -1 AS d FROM iv
+            ), per_t AS (
+                SELECT t, sum(d) AS d FROM pts GROUP BY t HAVING sum(d) <> 0
+            ), s AS (
+                SELECT t,
+                       sum(d) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS acc,
+                       lead(t) OVER (ORDER BY t) AS next_t
+                FROM per_t
+            ), seg AS (
+                SELECT t AS acc_start, next_t AS acc_end, acc
+                FROM s WHERE acc > 0 AND next_t IS NOT NULL
+            ), in_range AS (
+                SELECT *,
+                       CASE WHEN lag(acc_end) OVER (ORDER BY acc_start) = acc_start
+                            THEN 0 ELSE 1 END AS new_island
+                FROM seg WHERE acc >= 3
+            ), isl AS (
+                SELECT *, sum(new_island) OVER (ORDER BY acc_start ROWS BETWEEN
+                                                UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+                FROM in_range
+            ), islands AS (
+                SELECT min(acc_start) AS cover_start, max(acc_end) AS cover_end,
+                       CAST(max(acc) AS BIGINT) AS acc_max
+                FROM isl GROUP BY island
+            )
+            SELECT i.cover_start, i.cover_end, i.acc_max,
+                   min(v.start_ts) AS flat_start, max(v.end_ts) AS flat_end
+            FROM islands i JOIN iv v
+              ON v.start_ts < i.cover_end AND v.end_ts > i.cover_start
+            GROUP BY 1, 2, 3
+        """,
+        "meta_accessor": """
+            WITH thr AS (
+                SELECT user_id,
+                       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                           / CAST(count(*) AS DOUBLE) AS threshold
+                FROM events WHERE event_type = 'purchase' GROUP BY 1
+            )
+            SELECT e.event_id, e.user_id, e.value, thr.threshold
+            FROM events e JOIN thr ON e.user_id = thr.user_id
+            WHERE e.value >= thr.threshold
         """,
     }

@@ -82,7 +82,7 @@ def run_pipeline(
     input table prunes instead of scanning. ``fail_after`` kills the run
     after N buckets (test hook for kill/resume equivalence).
     """
-    from gmql_spark.operators.rollup import rollup_all_tiers
+    
 
     manifest = Manifest(f"{out_dir}/_manifest.jsonl")
     done = manifest.done_buckets()
@@ -98,11 +98,28 @@ def run_pipeline(
         meta = part.agg(
             F.count(F.lit(1)).alias("rows_in"), F.max(ts).alias("watermark")
         ).collect()[0]
-        outs = rollup_all_tiers(part, tiers=tiers, key=key, ts=ts)
+        # each tier is written, then the NEXT tier cascades from the
+        # written parquet (storage-backed lineage — no recomputation of
+        # the finer tier inside the coarser tier's job, and the
+        # manifest's lineage is literally the bytes on disk)
+        from gmql_spark.operators.rollup import (
+            rollup,
+            rollup_tier_from,
+            with_gap_seconds,
+        )
+
+        spark = part.sparkSession
+        raw_g = with_gap_seconds(part, key=key, ts=ts)
         tier_stats = {}
-        for tier, df in outs.items():
+        prev_df = None
+        for tier in tiers:
             path = f"{out_dir}/rollup_{tier}/bucket={b}"
+            if prev_df is None:
+                df = rollup(raw_g, tier, key=key, ts=ts, with_gaps=False)
+            else:
+                df = rollup_tier_from(prev_df, raw_g, tier, key=key, ts=ts, with_gaps=False)
             df.write.mode("overwrite").parquet(path)
+            prev_df = spark.read.parquet(path)
             rows, nbytes = _parquet_stats(path)
             tier_stats[tier] = {"rows_out": rows, "bytes": nbytes}
         entry = {

@@ -102,6 +102,32 @@ def cover(
     )
 
 
+def flat_cover(
+    df: DataFrame,
+    min_acc: int = 1,
+    max_acc: int | None = None,
+    keys: Sequence[str] = (),
+    start_ts: str = "start_ts",
+    end_ts: str = "end_ts",
+) -> DataFrame:
+    """FLAT variant (``GMAP4.scala:83-84``): like :func:`cover` but each
+    island is widened to the full footprint of the intervals that touch
+    it (min start / max end of contributors)."""
+    from gmql_spark.operators.join import range_join  # noqa: F401 (doc xref)
+
+    islands = cover(df, min_acc, max_acc, keys=keys, start_ts=start_ts, end_ts=end_ts)
+    iv = df.select(
+        *keys, F.col(start_ts).alias("_ivs"), F.col(end_ts).alias("_ive")
+    )
+    cond = [F.col("_ivs") < F.col("cover_end"), F.col("_ive") > F.col("cover_start")]
+    joined = (
+        islands.join(iv, on=list(keys), how="inner") if keys else islands.crossJoin(iv)
+    ).filter(cond[0] & cond[1])
+    return joined.groupBy(*keys, "cover_start", "cover_end", "acc_max").agg(
+        F.min("_ivs").alias("flat_start"), F.max("_ive").alias("flat_end")
+    )
+
+
 def summits(
     df: DataFrame,
     keys: Sequence[str] = (),

@@ -1,0 +1,71 @@
+"""Plan-property tests: the performance contract (SURVEY.md §4).
+
+These assert the *shape* of the physical plan, which is what survives a
+100x scale-up: hash aggregates (no object-agg fallback), broadcast for
+small dims, filter pushdown to the scan, bounded exchange counts.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gmql_spark import datagen
+from gmql_spark.operators.rollup import rollup, rollup_all_tiers
+from gmql_spark.plans.inspect import assert_no_object_agg, physical_plan, plan_report
+
+
+@pytest.fixture(scope="module")
+def raw(spark):
+    return datagen.transcripts_spark(spark, n_conv=30)
+
+
+def test_rollup_plan_is_pure_codegen_agg(raw):
+    """With closed category domains the whole rollup is hash-agg codegen
+    (the built-in exact percentile would introduce an ObjectHashAggregate
+    with its 128-group sort fallback; our rank plan must not)."""
+    from gmql_spark.datagen import TOOL_NAMES
+    from gmql_spark.operators.rollup import percentiles_for_tier
+
+    df = rollup(raw, "1m", tool_values=list(TOOL_NAMES))
+    assert_no_object_agg(df)
+    assert_no_object_agg(percentiles_for_tier(raw, "1h"))
+    assert plan_report(df)["hash_agg"] > 0
+
+
+def test_generic_path_object_agg_only_on_counted_rows(raw):
+    """Open category domains may use collect_list, but only to assemble
+    maps from pre-counted tier-sized rows — never over raw rows."""
+    from gmql_spark.plans.inspect import physical_plan
+
+    df = rollup(raw, "1m")  # tool_values=None -> two-level path
+    plan = physical_plan(df)
+    for line in plan.splitlines():
+        if "ObjectHashAggregate" in line:
+            assert "map_from_entries" in line or "_cat" in line or "_n" in line, line
+
+
+def test_rollup_exchange_budget(raw):
+    """1m rollup: bounded shuffles — lag window, main agg, percentile
+    sort, join. More exchanges than that means a planning regression."""
+    rep = plan_report(rollup(raw, "1m"))
+    assert rep["exchanges"] <= 6, rep
+
+
+def test_scan_pushdown(spark, tmp_path):
+    p = str(tmp_path / "t")
+    datagen.transcripts_spark(spark, n_conv=20).write.parquet(p)
+    df = spark.read.parquet(p).filter(F.col("role") == "tool").select("conv_id", "ts")
+    plan = physical_plan(df)
+    assert "PushedFilters: [IsNotNull(role), EqualTo(role,tool)]" in plan, plan[:1500]
+    assert "ReadSchema: struct<conv_id:string,role:string,ts:timestamp" in plan.replace(
+        "\n", ""
+    ) or "conv_id" in plan.split("ReadSchema")[1][:200], "column pruning missing"
+
+
+def test_semijoin_broadcasts(spark, raw):
+    dims = datagen.gen_conversations(30)
+    dim_df = spark.createDataFrame(dims)
+    out = raw.join(dim_df.filter(F.col("lang") == "en").select("conv_id"), "conv_id", "left_semi")
+    rep = plan_report(out)
+    assert rep["broadcasts"] >= 1, physical_plan(out)[:1500]

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from gmql_spark.functions.aggregates import counts_map, merge_counts_maps
+from gmql_spark.functions.aggregates import counts_map
 
 TIER_DURATION = {"1m": "1 minute", "1h": "1 hour", "1d": "1 day"}
 # fan-in of each tier from the previous one (for cascade)
@@ -59,7 +59,16 @@ def with_gap_seconds(
     (stable order = turn_idx), null for the first turn.
 
     Computed in integer microseconds first (``unix_micros``) so the double
-    result is bit-identical to the pandas/DuckDB oracles."""
+    result is bit-identical to the pandas/DuckDB oracles.
+
+    Idempotent: if the input already carries ``gap_us`` (e.g. the fact
+    table was written with ingest-time gap precomputation,
+    ``catalog.write_transcripts(precompute_gaps=True)``), the window
+    pass — a full sort shuffle of raw — is skipped entirely."""
+    if "gap_us" in df.columns:
+        if "gap_s" not in df.columns:
+            df = df.withColumn("gap_s", F.col("gap_us") / F.lit(1e6))
+        return df
     order_cols = [order] if isinstance(order, str) else list(order)
     w = Window.partitionBy(key).orderBy(*order_cols)
     us = F.unix_micros(F.col(ts))
@@ -180,12 +189,10 @@ def cascade_rollup(finer: DataFrame, tier: str, key: str = "conv_id") -> DataFra
     value-counts = value-counts of union, min∘min, max∘max.
     """
     win = F.window("window_start", TIER_DURATION[tier])
-    return (
+    scalars = (
         finer.groupBy(key, win.alias("w"))
         .agg(
             F.sum("turn_count").alias("turn_count"),
-            merge_counts_maps("role_counts").alias("role_counts"),
-            merge_counts_maps("tool_counts").alias("tool_counts"),
             F.sum("latency_cnt").alias("latency_cnt"),
             F.sum("latency_sum_us").alias("latency_sum_us"),
             F.min("first_ts").alias("first_ts"),
@@ -196,13 +203,44 @@ def cascade_rollup(finer: DataFrame, tier: str, key: str = "conv_id") -> DataFra
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
             "turn_count",
-            "role_counts",
-            "tool_counts",
             "latency_cnt",
             "latency_sum_us",
             "first_ts",
             "last_ts",
         )
+    )
+    # histogram-map merge via explode -> codegen hash sum -> map assembly
+    # over the (small) per-category rows. A direct HOF fold over
+    # collect_list(map) would be an ObjectHashAggregate on the whole
+    # finer tier — the 128-group sort fallback again.
+    empty_map = F.expr("cast(map() as map<string,bigint>)")
+    out = scalars
+    for col in ("role_counts", "tool_counts"):
+        cat = (
+            finer.select(key, win.alias("w"), F.explode(col).alias("_cat", "_v"))
+            .groupBy(key, F.col("w.start").alias("window_start"), "_cat")
+            .agg(F.sum("_v").alias("_n"))
+            .groupBy(key, "window_start")
+            .agg(
+                F.map_from_entries(
+                    F.array_sort(F.collect_list(F.struct("_cat", "_n")))
+                ).alias(col)
+            )
+        )
+        out = out.join(cat, on=[key, "window_start"], how="left").withColumn(
+            col, F.coalesce(F.col(col), empty_map)
+        )
+    return out.select(
+        key,
+        "window_start",
+        "window_end",
+        "turn_count",
+        "role_counts",
+        "tool_counts",
+        "latency_cnt",
+        "latency_sum_us",
+        "first_ts",
+        "last_ts",
     )
 
 

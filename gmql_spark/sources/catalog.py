@@ -38,6 +38,8 @@ def write_transcripts(
     key: str = "conv_id",
     ts: str = "ts",
     mode: str = "overwrite",
+    precompute_gaps: bool = False,
+    partition_days: bool = True,
 ) -> None:
     """Write the fact table with bucket(key) × days(ts) partitioning.
 
@@ -45,14 +47,29 @@ def write_transcripts(
     transform role (hash co-location of each conversation) and matches
     checkpoint.run_pipeline's work partitioning, so resume jobs prune to
     one directory per bucket.
+
+    ``precompute_gaps=True`` materializes the inter-turn ``gap_us``
+    derived column at ingest (one window pass, here, once) so every
+    downstream rollup/percentile job skips the raw-scale sort shuffle —
+    the single most effective plan change for the tier pipeline.
+    ``partition_days=False`` skips the date dir level (useful for small
+    benchmarks where days() would shatter file sizes).
     """
+    if precompute_gaps:
+        from gmql_spark.operators.rollup import with_gap_seconds
+
+        df = with_gap_seconds(df, key=key, ts=ts).drop("gap_s")
     out = df.withColumn(
         "conv_bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
-    ).withColumn("event_date", F.to_date(F.col(ts)))
+    )
+    part_cols = ["conv_bucket"]
+    if partition_days:
+        out = out.withColumn("event_date", F.to_date(F.col(ts)))
+        part_cols.append("event_date")
     (
         out.repartition(n_buckets, "conv_bucket")  # one writer wave per bucket
         .write.mode(mode)
-        .partitionBy("conv_bucket", "event_date")
+        .partitionBy(*part_cols)
         .parquet(path)
     )
 
@@ -65,4 +82,4 @@ def read_transcripts(
     df = spark.read.parquet(path)
     if buckets is not None:
         df = df.filter(F.col("conv_bucket").isin(buckets))
-    return df.drop("conv_bucket", "event_date")
+    return df.drop("conv_bucket", "event_date")  # gap_us (if present) is kept

@@ -73,6 +73,8 @@ def main(argv=None) -> int:
     ap.add_argument("--n-conv", type=int, required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--buckets", type=int, default=16)
+    ap.add_argument("--precompute-gaps", action="store_true")
+    ap.add_argument("--flat-days", action="store_true", help="skip event_date dir level")
     ap.add_argument(
         "--engine",
         choices=["pandas", "spark"],
@@ -94,7 +96,11 @@ def main(argv=None) -> int:
         df = transcripts_spark(spark, n_conv=args.n_conv)
     else:
         df = spark_gen(spark, args.n_conv)
-    write_transcripts(df, args.out, n_buckets=args.buckets)
+    write_transcripts(
+        df, args.out, n_buckets=args.buckets,
+        precompute_gaps=args.precompute_gaps,
+        partition_days=not args.flat_days,
+    )
     n = spark.read.parquet(args.out).count()
     with open(f"{args.out}/_meta.json", "w") as f:
         json.dump({"turns": n, "n_conv": args.n_conv}, f)

@@ -50,7 +50,7 @@ def main(argv=None) -> int:
         raw,
         role_values=list(ROLES),
         tool_values=list(TOOL_NAMES),
-        cache_gaps=True,
+        cache_gaps=True,  # repeated zstd scans cost more than the cache
         persist_tiers=True,
     )
 

@@ -56,15 +56,21 @@ def main() -> int:
         print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
 
     # flagship transcript rollup throughput (BASELINE.json metric)
-    from gmql_spark.datagen import transcripts_spark
+    from gmql_spark.datagen import ROLES, TOOL_NAMES, transcripts_spark
     from gmql_spark.operators.rollup import rollup_all_tiers
 
-    n_conv = int(os.environ.get("GMQL_BENCH_CONV", "4000"))
+    n_conv = int(os.environ.get("GMQL_BENCH_CONV", "20000"))
     raw = transcripts_spark(spark, n_conv=n_conv)
     raw.cache()
     n_turns = raw.count()
     t0 = time.perf_counter()
-    tiers = rollup_all_tiers(raw)
+    tiers = rollup_all_tiers(
+        raw,
+        role_values=list(ROLES),
+        tool_values=list(TOOL_NAMES),
+        cache_gaps=True,
+        persist_tiers=True,
+    )
     for t, df in tiers.items():
         df.write.mode("overwrite").format("noop").save()
     rollup_wall = time.perf_counter() - t0

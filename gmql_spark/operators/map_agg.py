@@ -56,13 +56,19 @@ def map_intervals(
         ),
     )
     ev = events.withColumn("_bucket", (F.unix_micros(F.col(ev_ts)) / bucket_us).cast("long"))
-    cond = [rb["_bucket"] == ev["_bucket"]] + [rb[k] == ev[k] for k in keys]
-    joined = rb.join(ev, cond, "inner").filter(
-        (ev[ev_ts] >= rb[ref_start]) & (ev[ev_ts] < rb[ref_end])
+    # explicit string aliases: refs/events often share lineage (two
+    # filters of the same table), which makes df["col"] refs ambiguous
+    rb_a, ev_a = rb.alias("__ref"), ev.alias("__ev")
+    r_ = lambda c: F.col(f"__ref.{c}")  # noqa: E731
+    e_ = lambda c: F.col(f"__ev.{c}")  # noqa: E731
+    cond = [r_("_bucket") == e_("_bucket")] + [r_(k) == e_(k) for k in keys]
+    joined = rb_a.join(ev_a, cond, "inner").filter(
+        (e_(ev_ts) >= r_(ref_start)) & (e_(ev_ts) < r_(ref_end))
     )
     grouped = joined.groupBy(
-        *[rb[k] for k in keys], rb[ref_start], rb[ref_end]
+        *[r_(k).alias(k) for k in keys],
+        r_(ref_start).alias(ref_start),
+        r_(ref_end).alias(ref_end),
     ).agg(F.count(F.lit(1)).alias("n_events"), *aggs)
-    agg_names = [c for c in grouped.columns if c not in (*keys, ref_start, ref_end)]
     out = refs.join(grouped, on=[*keys, ref_start, ref_end], how="left")
     return out.withColumn("n_events", F.coalesce(F.col("n_events"), F.lit(0)))

@@ -419,6 +419,31 @@ def q_meta_accessor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window rollup (1h windows, 30m slide) — Spark's window
+    generator replicates rows to covered windows, the declarative form
+    of the reference's bin flatMap (``GenometricMap71.scala:152-182``)."""
+    from gmql_spark.operators.window_agg import window_rollup
+
+    ev = _read(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,2)")
+    return window_rollup(
+        ev,
+        "1 hour",
+        aggs=[F.count(F.lit(1)).alias("n"), F.sum(dec).cast("double").alias("val_sum")],
+        keys=["user_id"],
+        slide="30 minutes",
+    )
+
+
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profile (GMQL-Profiler analogue, ``Profiler.scala:66-68``)."""
+    from gmql_spark.operators.profile import profile_per_key
+
+    ev = _read(spark, sf_dir, "events")
+    return profile_per_key(ev, key="user_id", ts="ts")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: per-user 1-minute rollup."""
     return q_rollup_1m(spark, "/root/testdata/sf0.001")
@@ -454,6 +479,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_intervals": q_map_intervals,
         "flat_cover": q_flat_cover,
         "meta_accessor": q_meta_accessor,
+        "sliding_rollup": q_sliding_rollup,
+        "profile": q_profile,
     }
 
 
@@ -798,6 +825,24 @@ def oracle_sql() -> dict[str, str]:
             FROM islands i JOIN iv v
               ON v.start_ts < i.cover_end AND v.end_ts > i.cover_start
             GROUP BY 1, 2, 3
+        """,
+        "sliding_rollup": """
+            WITH w AS (
+                SELECT user_id, value,
+                       unnest([time_bucket(INTERVAL '30 minutes', ts),
+                               time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+                           AS window_start
+                FROM events
+            )
+            SELECT user_id, window_start,
+                   window_start + INTERVAL '1 hour' AS window_end,
+                   count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+            FROM w GROUP BY 1, 2
+        """,
+        "profile": """
+            SELECT user_id, count(*) AS n_rows, min(ts) AS min_ts, max(ts) AS max_ts
+            FROM events GROUP BY 1
         """,
         "meta_accessor": """
             WITH thr AS (

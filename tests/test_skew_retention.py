@@ -1,0 +1,60 @@
+"""Salted two-phase agg == direct agg (equality law) and tier-aware
+retention expiry."""
+
+from __future__ import annotations
+
+from datetime import date
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from gmql_spark import datagen
+from gmql_spark.operators.rollup import with_gap_seconds
+from gmql_spark.operators.skew import salted_conv_stats
+from gmql_spark.retention import apply_retention, expire_partitions
+from gmql_spark.sources.catalog import write_transcripts
+
+
+def test_salted_equals_direct(spark):
+    raw = with_gap_seconds(datagen.transcripts_spark(spark, n_conv=60))
+    direct = (
+        raw.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("turn_count"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.sum("gap_us").alias("latency_sum_us"),
+        )
+        .toPandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    salted = (
+        salted_conv_stats(raw, n_salts=8)
+        .toPandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(direct, salted[direct.columns], check_dtype=False)
+
+
+def test_retention_expiry(spark, tmp_path):
+    raw = datagen.transcripts_spark(spark, n_conv=40)
+    wh = tmp_path / "wh"
+    write_transcripts(raw, str(wh / "transcripts"), n_buckets=2)
+
+    # datagen spans 2026-01; expire everything before 2026-01-15
+    as_of = date(2026, 1, 25)
+    expired = expire_partitions(str(wh / "transcripts"), keep_days=10, as_of=as_of)
+    assert expired and all("event_date=2026-01-0" in p or "event_date=2026-01-1" in p for p in expired)
+
+    back = spark.read.parquet(str(wh / "transcripts"))
+    assert back.count() > 0
+    min_date = back.agg(F.min("event_date")).collect()[0][0]
+    assert min_date >= date(2026, 1, 15)
+
+    # dry-run reports but deletes nothing
+    before = back.count()
+    rep = apply_retention(str(wh), {"raw": 5}, as_of=as_of, dry_run=True)
+    assert rep["raw"]
+    assert spark.read.parquet(str(wh / "transcripts")).count() == before

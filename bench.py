@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BENCH_QUERIES = [
     "rollup_1m",
     "rollup_1h_cascade",
+    "sliding_rollup",
     "merge_global_1h",
     "latency_percentiles",
     "gapfill_hourly",
@@ -28,7 +29,10 @@ BENCH_QUERIES = [
     "difference",
     "asof_join",
     "cover_accumulation",
+    "map_intervals",
     "dedup_exact",
+    "minhash_lsh",
+    "cosine_topk",
 ]
 
 

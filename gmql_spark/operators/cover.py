@@ -49,11 +49,47 @@ def accumulation(
     ).unionByName(df.select(*keys, F.col(end_ts).alias("t"), F.lit(-1).alias("d")))
     # net delta per distinct instant, then running sum = acc level in [t, next_t)
     per_t = deltas.groupBy(*keys, "t").agg(F.sum("d").alias("d")).filter(F.col("d") != 0)
-    w = Window.partitionBy(*keys).orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
-    w_next = Window.partitionBy(*keys).orderBy("t")
-    stepped = per_t.withColumn("acc", F.sum("d").over(w)).withColumn(
-        "next_t", F.lead("t").over(w_next)
-    )
+    if keys:
+        w = Window.partitionBy(*keys).orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+        w_next = Window.partitionBy(*keys).orderBy("t")
+        stepped = per_t.withColumn("acc", F.sum("d").over(w)).withColumn(
+            "next_t", F.lead("t").over(w_next)
+        )
+    else:
+        # keyless sweep: a global Window would funnel everything through
+        # ONE partition (the reference has the same issue per chromosome
+        # — a hot chrom is a hot bin). Distributed two-level prefix sum:
+        # range-partition by t, partition-local cumsum, then add each
+        # partition's offset (cumsum of tiny per-partition totals joined
+        # back by partition id). lead() for next_t is partition-local
+        # too; the last row of each partition takes the next partition's
+        # first t from the same tiny frame.
+        parts = per_t.repartitionByRange("t").sortWithinPartitions("t")
+        parts = parts.withColumn("_pid", F.spark_partition_id())
+        w_local = (
+            Window.partitionBy("_pid").orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+        )
+        w_plocal = Window.partitionBy("_pid").orderBy("t")
+        local = parts.withColumn("_local_acc", F.sum("d").over(w_local)).withColumn(
+            "_local_next", F.lead("t").over(w_plocal)
+        )
+        ptotals = (
+            local.groupBy("_pid")
+            .agg(F.sum("d").alias("_ptotal"), F.min("t").alias("_pfirst"))
+        )
+        w_p = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+        w_pn = Window.orderBy("_pid")
+        offsets = ptotals.select(
+            "_pid",
+            F.coalesce(F.sum("_ptotal").over(w_p), F.lit(0)).alias("_offset"),
+            F.lead("_pfirst").over(w_pn).alias("_next_pfirst"),
+        )
+        stepped = (
+            local.join(F.broadcast(offsets), "_pid")
+            .withColumn("acc", F.col("_local_acc") + F.col("_offset"))
+            .withColumn("next_t", F.coalesce(F.col("_local_next"), F.col("_next_pfirst")))
+            .drop("_pid", "_local_acc", "_local_next", "_offset", "_next_pfirst", "_pfirst")
+        )
     return (
         stepped.filter(F.col("acc") > 0)
         .filter(F.col("next_t").isNotNull())

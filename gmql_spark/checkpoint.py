@@ -74,6 +74,7 @@ def run_pipeline(
     lineage: str = "",
     fail_after: int | None = None,
     on_bucket_done: Callable[[dict], None] | None = None,
+    compress: bool = False,
 ) -> dict:
     """Run the tier rollup bucket-by-bucket with checkpoint/resume.
 
@@ -81,8 +82,11 @@ def run_pipeline(
     aligned with the storage layout's bucket transform so a bucketed
     input table prunes instead of scanning. ``fail_after`` kills the run
     after N buckets (test hook for kill/resume equivalence).
+    ``compress=True`` additionally writes Gorilla-packed streams of each
+    tier's turn_count series (``gorilla_<tier>/bucket=<b>``: delta-of-
+    delta timestamps + XOR values, north-rule storage codec).
     """
-    
+
 
     manifest = Manifest(f"{out_dir}/_manifest.jsonl")
     done = manifest.done_buckets()
@@ -122,6 +126,20 @@ def run_pipeline(
             prev_df = spark.read.parquet(path)
             rows, nbytes = _parquet_stats(path)
             tier_stats[tier] = {"rows_out": rows, "bytes": nbytes}
+            if compress:
+                from pyspark.sql import functions as SF
+
+                from gmql_spark.compression.gorilla import compress_series
+
+                gpath = f"{out_dir}/gorilla_{tier}/bucket={b}"
+                series = prev_df.select(
+                    key, "window_start", SF.col("turn_count").cast("double").alias("val")
+                )
+                compress_series(series, keys=[key], ts_col="window_start", value_col="val").write.mode(
+                    "overwrite"
+                ).parquet(gpath)
+                _g_rows, g_bytes = _parquet_stats(gpath)
+                tier_stats[tier]["gorilla_bytes"] = g_bytes
         entry = {
             "bucket": b,
             "status": "done",

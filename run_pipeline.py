@@ -26,6 +26,10 @@ def main(argv=None) -> int:
     ap.add_argument("--tiers", default="1m,1h,1d")
     ap.add_argument("--buckets", type=int, default=8)
     ap.add_argument("--fail-after", type=int, default=None, help="test hook: die after N buckets")
+    ap.add_argument("--compress", action="store_true",
+                    help="also write Gorilla-packed streams per tier")
+    ap.add_argument("--retention", default=None,
+                    help="apply retention after run, e.g. 'raw=30,1m=90,1h=365'")
     args = ap.parse_args(argv)
 
     spark = SparkSession.builder.appName("gmql-spark-pipeline").getOrCreate()
@@ -43,9 +47,19 @@ def main(argv=None) -> int:
     stats = run_pipeline(
         spark, raw, args.out, tiers=tiers, n_buckets=args.buckets,
         lineage=f"input={args.input}", fail_after=args.fail_after,
+        compress=args.compress,
         on_bucket_done=lambda e: print(f"bucket {e['bucket']}: rows_in={e['rows_in']} "
                                        f"watermark={e['watermark']} wall={e['wall_s']}s"),
     )
+    if args.retention:
+        from gmql_spark.retention import expire_partitions
+
+        policy = dict(kv.split("=") for kv in args.retention.split(","))
+        expired = {}
+        for tier, days in policy.items():
+            path = args.input if tier == "raw" else f"{args.out}/rollup_{tier}"
+            expired[tier] = len(expire_partitions(path, int(days)))
+        stats["retention_expired"] = expired
     print(json.dumps(stats))
     return 0
 

@@ -266,20 +266,22 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates (no SQL oracle: xxhash64 is
-    Spark-specific; the planted-duplicate pytest covers correctness)."""
+    """MinHash+LSH near-dup candidates, portable-md5 hash mode so the
+    whole pipeline (signatures -> band buckets -> est_jaccard) is exactly
+    reproducible in the DuckDB oracle."""
     from gmql_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
-    return minhash_lsh_pairs(docs, num_perm=64, bands=16, threshold=0.5)
+    return minhash_lsh_pairs(docs, num_perm=64, bands=16, threshold=0.5, hash_fn="md5")
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (no SQL oracle: xxhash64-based)."""
+    """SimHash near-dup pairs, portable-md5 hash mode (60-bit
+    fingerprints, 4x15-bit banding) -> exact DuckDB oracle."""
     from gmql_spark.operators.dedup import simhash_near_pairs
 
     docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
-    return simhash_near_pairs(docs, max_hamming=3)
+    return simhash_near_pairs(docs, max_hamming=3, hash_fn="md5")
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -498,6 +500,101 @@ def _pct_sql(tag: str) -> str:
     )
 
 
+
+
+def _h64(expr: str, seed: str) -> str:
+    """DuckDB md5-based 64-bit hash identical to dedup.hash64(md5 mode)."""
+    return f"(('0x'||substr(md5(({expr}) || '#{seed}'),1,15))::BIGINT)"
+
+
+_SHINGLE_CTE = """
+        WITH t AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+            FROM documents WHERE doc_id < 2000
+        ), sh AS (
+            SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+            FROM t, LATERAL (
+                SELECT unnest(generate_series(1, len(w) - 2)) AS i
+            ) ix
+            WHERE len(w) >= 3
+        )
+"""
+
+
+def _minhash_sql(num_perm: int = 64, bands: int = 16, threshold: float = 0.5) -> str:
+    rows = num_perm // bands
+    mh_defs = ",\n                   ".join(
+        f"min({_h64('shingle', str(i))}) AS mh_{i}" for i in range(num_perm)
+    )
+    band_selects = []
+    for b in range(bands):
+        concat = " || '|' || ".join(f"CAST(mh_{b*rows+r} AS VARCHAR)" for r in range(rows))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, {_h64(concat, f'band{b}')} AS bucket FROM sig"
+        )
+    buckets = "\n            UNION ALL ".join(band_selects)
+    eq = " + ".join(
+        f"(CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END)" for i in range(num_perm)
+    )
+    return _SHINGLE_CTE + f""", sig AS (
+            SELECT doc_id, {mh_defs}
+            FROM sh GROUP BY doc_id
+        ), buckets AS (
+            {buckets}
+        ), cands AS (
+            SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+            FROM buckets x JOIN buckets y
+              ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+        )
+        SELECT id_a, id_b, ({eq}) / CAST({float(num_perm)} AS DOUBLE) AS est_jaccard
+        FROM cands
+        JOIN sig a ON a.doc_id = id_a
+        JOIN sig b ON b.doc_id = id_b
+        WHERE ({eq}) / CAST({float(num_perm)} AS DOUBLE) >= {threshold}
+    """
+
+
+def _simhash_sql(max_hamming: int = 3, n_bits: int = 60) -> str:
+    h = _h64("tok", "sim")
+    sums = ",\n                   ".join(
+        f"sum(CASE WHEN (({h}) >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{b}"
+        for b in range(n_bits)
+    )
+    fp = " + ".join(
+        f"((CASE WHEN s_{b} > 0 THEN 1 ELSE 0 END)::BIGINT << {b})" for b in range(n_bits)
+    )
+    chunk_bits = n_bits // 4
+    mask = (1 << chunk_bits) - 1
+    band_selects = "\n            UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band, (simhash >> {chunk_bits*i}) & {mask} AS chunk FROM fp"
+        for i in range(4)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+            FROM documents WHERE doc_id < 2000
+        ), tf AS (
+            SELECT doc_id, tok FROM toks WHERE length(tok) > 0
+        ), sums AS (
+            SELECT doc_id, {sums}
+            FROM tf GROUP BY doc_id
+        ), fp AS (
+            SELECT doc_id, ({fp}) AS simhash FROM sums
+        ), buckets AS (
+            {band_selects}
+        ), cands AS (
+            SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+            FROM buckets x JOIN buckets y
+              ON x.band = y.band AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+        )
+        SELECT id_a, id_b, bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM cands
+        JOIN fp a ON a.doc_id = id_a
+        JOIN fp b ON b.doc_id = id_b
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     gaps_cte = """
         WITH g0 AS (
@@ -680,6 +777,8 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
         """,
+        "minhash_lsh": _minhash_sql(),
+        "simhash_pairs": _simhash_sql(),
         "fingerprint": """
             SELECT doc_id,
                    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint_md5

@@ -81,18 +81,32 @@ def ngram_jaccard_pairs(
     return out.select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
 
 
+def hash64(col, seed, hash_fn: str = "xxhash64"):
+    """64-bit hash of a column. ``xxhash64``: Spark-native (fast path).
+    ``md5``: first 15 hex digits of md5(value#seed) as a 60-bit int —
+    bit-identical in DuckDB (``('0x'||substr(md5(...),1,15))::BIGINT``),
+    which makes MinHash/SimHash results exactly oracle-checkable."""
+    c = F.col(col) if isinstance(col, str) else col
+    if hash_fn == "xxhash64":
+        return F.xxhash64(c, F.lit(seed))
+    return F.conv(
+        F.substring(F.md5(F.concat(c.cast("string"), F.lit(f"#{seed}"))), 1, 15), 16, 10
+    ).cast("long")
+
+
 def minhash_signatures(
     df: DataFrame,
     num_perm: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """K minhash values per doc: perm i = min over shingles of
-    xxhash64(shingle, seed=i). One explode + one groupBy with K min
+    hash(shingle, seed=i). One explode + one groupBy with K min
     aggregates — all codegen."""
     sh = word_ngrams(df, id_col, text_col, n)
-    aggs = [F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}") for i in range(num_perm)]
+    aggs = [F.min(hash64("shingle", i, hash_fn)).alias(f"mh_{i}") for i in range(num_perm)]
     return sh.groupBy(id_col).agg(*aggs)
 
 
@@ -104,6 +118,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash LSH.
 
@@ -112,12 +127,24 @@ def minhash_lsh_pairs(
     join cost is proportional to true collisions (banding), not n^2."""
     assert num_perm % bands == 0
     rows = num_perm // bands
-    sig = minhash_signatures(df, num_perm, id_col, text_col, n).cache()
+    sig = minhash_signatures(df, num_perm, id_col, text_col, n, hash_fn).cache()
     mh_cols = [f"mh_{i}" for i in range(num_perm)]
-    band_cols = [
-        F.xxhash64(*[F.col(mh_cols[b * rows + r]) for r in range(rows)], F.lit(b)).alias("bucket")
-        for b in range(bands)
-    ]
+    if hash_fn == "xxhash64":
+        band_cols = [
+            F.xxhash64(*[F.col(mh_cols[b * rows + r]) for r in range(rows)], F.lit(b)).alias(
+                "bucket"
+            )
+            for b in range(bands)
+        ]
+    else:
+        band_cols = [
+            hash64(
+                F.concat_ws("|", *[F.col(mh_cols[b * rows + r]) for r in range(rows)]),
+                f"band{b}",
+                hash_fn,
+            ).alias("bucket")
+            for b in range(bands)
+        ]
     buckets = sig.select(
         F.col(id_col),
         F.posexplode(F.array(*band_cols)).alias("band", "bucket"),
@@ -142,23 +169,26 @@ def minhash_lsh_pairs(
 
 
 def simhash_64(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", hash_fn: str = "xxhash64"
 ) -> DataFrame:
-    """64-bit SimHash per doc from token hashes: bit b of the fingerprint
-    is the sign of sum over tokens of ±1 for that bit. 64 conditional-sum
-    aggregates, fully codegen."""
+    """SimHash per doc from token hashes: bit b of the fingerprint is the
+    sign of sum over tokens of ±1 for that bit. Conditional-sum
+    aggregates, fully codegen. 64 bits with xxhash64; 60 bits in md5
+    mode (the portable hash is 60-bit, and staying under the sign bit
+    keeps the SQL-oracle arithmetic overflow-free)."""
+    n_bits = 64 if hash_fn == "xxhash64" else 60
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     t = df.select(F.col(id_col), F.explode(toks).alias("tok")).filter(F.length("tok") > 0)
-    h = F.xxhash64("tok")
+    h = F.xxhash64("tok") if hash_fn == "xxhash64" else hash64("tok", "sim", hash_fn)
     aggs = [
         F.sum(
             F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"s_{b}")
-        for b in range(64)
+        for b in range(n_bits)
     ]
     per_doc = t.groupBy(id_col).agg(*aggs)
     fp = None
-    for b in range(64):
+    for b in range(n_bits):
         bit = F.when(F.col(f"s_{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, b)
         fp = term if fp is None else fp.bitwiseXOR(term)  # disjoint bits: xor == or
@@ -170,12 +200,15 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) <= d via 4x16-bit banding
-    (pigeonhole: d<=3 pairs share at least one of 4 bands)."""
-    fp = simhash_64(df, id_col, text_col).cache()
+    """Near-dup pairs with hamming(simhash) <= d via 4-chunk banding
+    (pigeonhole: d<=3 pairs share at least one of 4 chunks)."""
+    chunk_bits = 16 if hash_fn == "xxhash64" else 15
+    mask = (1 << chunk_bits) - 1
+    fp = simhash_64(df, id_col, text_col, hash_fn).cache()
     bands = [
-        (F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))).alias("chunk")
+        (F.shiftright(F.col("simhash"), chunk_bits * i).bitwiseAND(F.lit(mask))).alias("chunk")
         for i in range(4)
     ]
     buckets = fp.select(F.col(id_col), "simhash", F.posexplode(F.array(*bands)).alias("band", "chunk"))

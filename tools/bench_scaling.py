@@ -60,6 +60,7 @@ def main() -> int:
     ap.add_argument("--exec-mem-mb", type=int, default=4096)
     ap.add_argument("--fact", default="/tmp/gmql_fact_40m")
     ap.add_argument("--reuse-fact", action="store_true")
+    ap.add_argument("--reps", type=int, default=2, help="runs per level; best kept (page-cache + JIT noise is +-25%% on this box)")
     args = ap.parse_args()
 
     if not args.reuse_fact or not os.path.exists(f"{args.fact}/_meta.json"):
@@ -82,13 +83,16 @@ def main() -> int:
     results = {}
     for n_exec in (1, 4):
         master = f"local-cluster[{n_exec},{args.exec_cores},{args.exec_mem_mb}]"
-        r = spark_submit(
-            master, f"{REPO}/tools/scale_worker.py",
-            "--input", args.fact, "--turns", str(turns), "--no-aqe",
-        )
-        r["master"] = master
-        results[n_exec] = r
-        print(f"{master}: {r}", file=sys.stderr)
+        best = None
+        for _ in range(args.reps):
+            r = spark_submit(
+                master, f"{REPO}/tools/scale_worker.py",
+                "--input", args.fact, "--turns", str(turns), "--no-aqe",
+            )
+            best = r if best is None or r["wall_s"] < best["wall_s"] else best
+        best["master"] = master
+        results[n_exec] = best
+        print(f"{master}: {best}", file=sys.stderr)
 
     tp_n, tp_4n = results[1]["turns_per_sec"], results[4]["turns_per_sec"]
     eff = tp_4n / (4 * tp_n)

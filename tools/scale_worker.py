@@ -44,6 +44,11 @@ def main(argv=None) -> int:
     from gmql_spark.operators.rollup import rollup_all_tiers
     from gmql_spark.sources.catalog import read_transcripts
 
+    # warm-up outside the measured window: executor registration + JIT
+    # (a real cluster is already up when a job lands on it); the input
+    # data itself is NOT touched before t0
+    spark.range(1_000_000).repartition(cores).count()
+
     t0 = time.perf_counter()
     raw = read_transcripts(spark, args.input)
     tiers = rollup_all_tiers(
@@ -54,19 +59,24 @@ def main(argv=None) -> int:
         persist_tiers=True,
     )
 
-    def sink(df):
+    phases = {}
+
+    def sink(df, name=None):
+        p0 = time.perf_counter()
         df.write.mode("overwrite").format("noop").save()
+        if name:
+            phases[name] = round(time.perf_counter() - p0, 2)
 
     if args.serial:
-        for df in tiers.values():
-            sink(df)
+        for t_name, df in tiers.items():
+            sink(df, t_name)
     else:
         # 1m first (materializes the shared gap cache exactly once),
         # then the higher tiers concurrently
-        sink(tiers["1m"])
-        rest = [df for t, df in tiers.items() if t != "1m"]
+        sink(tiers["1m"], "1m")
+        rest = [(t, df) for t, df in tiers.items() if t != "1m"]
         with ThreadPoolExecutor(max_workers=max(len(rest), 1)) as ex:
-            list(ex.map(sink, rest))
+            list(ex.map(lambda td: sink(td[1], td[0]), rest))
     wall = time.perf_counter() - t0
     n_turns = args.turns or raw.count()
 
@@ -75,6 +85,7 @@ def main(argv=None) -> int:
         "turns": n_turns,
         "wall_s": round(wall, 3),
         "turns_per_sec": round(n_turns / wall, 1),
+        "phases": phases,
         "shuffle_partitions": args.shuffle_partitions,
         "aqe": not args.no_aqe,
         "concurrent_sinks": not args.serial,

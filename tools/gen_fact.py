@@ -10,7 +10,7 @@ import sys
 from pyspark.sql import SparkSession
 
 
-def spark_gen(spark, n_conv: int):
+def spark_gen(spark, n_conv: int, gap_mean_s: float = 20.0):
     """Distributed transcript generator (JVM expressions only): same
     distributions as gmql_spark.datagen (lognormal turn counts, Exp(20s)
     gaps with 5%% long outliers, weighted roles) at arbitrary scale."""
@@ -37,7 +37,9 @@ def spark_gen(spark, n_conv: int):
         F.posexplode(F.sequence(F.lit(0), F.col("n_turns") - 1)).alias("turn_idx", "_"),
     ).drop("_")
     r = F.rand(3)
-    gap = F.when(F.rand(4) < 0.05, F.rand(5) * 21000 + 600).otherwise(-20.0 * F.log(r + 1e-12))
+    gap = F.when(F.rand(4) < 0.05, F.rand(5) * 21000 + 600).otherwise(
+        F.lit(-float(gap_mean_s)) * F.log(r + 1e-12)
+    )
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     turns = turns.withColumn("gap_s", F.when(F.col("turn_idx") == 0, 0.0).otherwise(gap))
     turns = turns.withColumn(
@@ -75,6 +77,9 @@ def main(argv=None) -> int:
     ap.add_argument("--buckets", type=int, default=16)
     ap.add_argument("--precompute-gaps", action="store_true")
     ap.add_argument("--flat-days", action="store_true", help="skip event_date dir level")
+    ap.add_argument("--gap-mean-s", type=float, default=20.0,
+                    help="mean inter-turn gap; ~5s gives a realistic agent cadence "
+                         "(1m tier ~10%% of raw) for scaling benchmarks")
     ap.add_argument(
         "--engine",
         choices=["pandas", "spark"],
@@ -95,7 +100,7 @@ def main(argv=None) -> int:
 
         df = transcripts_spark(spark, n_conv=args.n_conv)
     else:
-        df = spark_gen(spark, args.n_conv)
+        df = spark_gen(spark, args.n_conv, gap_mean_s=args.gap_mean_s)
     write_transcripts(
         df, args.out, n_buckets=args.buckets,
         precompute_gaps=args.precompute_gaps,

@@ -60,6 +60,7 @@ def main() -> int:
     ap.add_argument("--exec-mem-mb", type=int, default=4096)
     ap.add_argument("--fact", default="/tmp/gmql_fact_40m")
     ap.add_argument("--reuse-fact", action="store_true")
+    ap.add_argument("--gap-mean-s", type=float, default=20.0)
     ap.add_argument("--reps", type=int, default=2, help="runs per level; best kept (page-cache + JIT noise is +-25%% on this box)")
     args = ap.parse_args()
 
@@ -73,6 +74,7 @@ def main() -> int:
             f"local[{os.cpu_count()}]", f"{REPO}/tools/gen_fact.py",
             "--n-conv", str(args.n_conv), "--out", args.fact,
             "--engine", "spark", "--precompute-gaps", "--flat-days",
+            "--gap-mean-s", str(args.gap_mean_s),
             conf=gen_conf,
         )
         print(f"fact table: {gen}", file=sys.stderr)

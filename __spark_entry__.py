@@ -104,17 +104,22 @@ def q_type_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact inter-event latency percentiles per user (EXTEND/AggregateRD
     recast: per-sample aggregate -> one row per sample,
-    ``AggregateRD.scala:17-53``)."""
-    from gmql_spark.operators.rollup import with_gap_seconds
+    ``AggregateRD.scala:17-53``). Percentiles via the engine's rank+lerp
+    plan (``rollup.exact_percentiles``) — same interpolation formula as
+    the oracle SQL (``_pct_sql``), no ObjectHashAggregate, bit-identical
+    results (built-in F.percentile's `lo + d*(hi-lo)` form differs by an
+    ulp on some inputs)."""
+    from gmql_spark.operators.rollup import exact_percentiles, with_gap_seconds
 
     ev = _read(spark, sf_dir, "events")
     g = with_gap_seconds(ev, key="user_id", order=["ts", "event_id"], ts="ts")
-    return g.groupBy("user_id").agg(
+    base = g.groupBy("user_id").agg(
         F.count("gap_s").alias("n_gaps"),
-        F.percentile("gap_s", F.lit(0.5)).alias("latency_p50"),
-        F.percentile("gap_s", F.lit(0.95)).alias("latency_p95"),
-        F.percentile("gap_s", F.lit(0.99)).alias("latency_p99"),
         F.sum("gap_us").alias("latency_sum_us"),
+    )
+    pct = exact_percentiles(g, keys=["user_id"], value="gap_s")
+    return base.join(pct, "user_id").select(
+        "user_id", "n_gaps", "latency_p50", "latency_p95", "latency_p99", "latency_sum_us"
     )
 
 

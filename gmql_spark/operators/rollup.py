@@ -306,6 +306,63 @@ def percentiles_for_tier(
     return agged.select(key, F.col("w.start").alias("window_start"), *pct_cols)
 
 
+def exact_percentiles(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: str,
+    pcts: Sequence[float] = PCTS,
+    names: Sequence[str] = PCT_NAMES,
+) -> DataFrame:
+    """Exact percentiles of ``value`` per key group — the same rank +
+    hash-agg + lerp plan as :func:`percentiles_for_tier`, for arbitrary
+    (non-windowed) groupings (EXTEND/AggregateRD recast,
+    ``AggregateRD.scala:17-53``; Q1/Q2/Q3 builtins
+    ``DefaultRegionsToMetaFactory.scala:12-290``).
+
+    Interpolation is ``lo_v*(hi-pos) + hi_v*(pos-lo)`` — bit-identical to
+    the DuckDB/pandas oracles, unlike the built-in ``F.percentile`` whose
+    ``lo + d*(hi-lo)`` form differs by an ulp on some inputs AND plans an
+    ObjectHashAggregate (sort-based fallback past 128 groups/partition).
+    Null values are skipped (GMQL aggregate null-skip semantics)."""
+    keys = list(keys)
+    g = df.filter(F.col(value).isNotNull()).select(*keys, value)
+    w_rank = Window.partitionBy(*keys).orderBy(value)
+    w_part = Window.partitionBy(*keys)
+    d = g.select(
+        *keys,
+        value,
+        (F.row_number().over(w_rank) - 1).alias("rn"),
+        F.count(F.lit(1)).over(w_part).alias("n"),
+    )
+    for i, p in enumerate(pcts):
+        pos = F.lit(p) * (F.col("n") - 1)
+        d = (
+            d.withColumn(f"_pos{i}", pos)
+            .withColumn(f"_lo{i}", F.floor(pos).cast("long"))
+            .withColumn(f"_hi{i}", F.ceil(pos).cast("long"))
+        )
+    aggs = []
+    for i in range(len(pcts)):
+        aggs += [
+            F.max(F.when(F.col("rn") == F.col(f"_lo{i}"), F.col(value))).alias(f"_lov{i}"),
+            F.max(F.when(F.col("rn") == F.col(f"_hi{i}"), F.col(value))).alias(f"_hiv{i}"),
+            F.max(f"_pos{i}").alias(f"_p{i}"),
+            F.max(f"_lo{i}").alias(f"_l{i}"),
+            F.max(f"_hi{i}").alias(f"_h{i}"),
+        ]
+    agged = d.groupBy(*keys).agg(*aggs)
+    pct_cols = []
+    for i, name in enumerate(names):
+        lo_v, hi_v = F.col(f"_lov{i}"), F.col(f"_hiv{i}")
+        pos, lo, hi = F.col(f"_p{i}"), F.col(f"_l{i}"), F.col(f"_h{i}")
+        pct_cols.append(
+            F.when(lo == hi, lo_v)
+            .otherwise(lo_v * (hi - pos) + hi_v * (pos - lo))
+            .alias(name)
+        )
+    return agged.select(*keys, *pct_cols)
+
+
 def rollup_tier_from(
     finer: DataFrame,
     raw: DataFrame,

@@ -211,6 +211,80 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nearest_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinDistance(k>1) nearest-neighbor join (``GenometricJoin.scala:
+    130-151``): for each purchase, the 3 nearest clicks of the same user
+    within 30 minutes, ranked by |Δt| (ties by click ts)."""
+    from gmql_spark.operators.join import nearest_k
+
+    ev = _read(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    out = nearest_k(
+        purchases, clicks, keys=["user_id"], k=3, max_distance_s=1800.0, left_id="event_id"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_r").alias("click_ts"),
+        "distance_s",
+        F.col("nn_rank").cast("long").alias("nn_rank"),
+    )
+
+
+def q_topg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TopG: top-2 events per (user, event_type) value-group by value
+    (OrderRD TopG variant, ``IROperators.scala:240-242``)."""
+    from gmql_spark.operators.order import topg_per_key
+
+    ev = _read(spark, sf_dir, "events")
+    out = topg_per_key(
+        ev,
+        keys=["user_id"],
+        group_cols=["event_type"],
+        order_by=[F.col("value").desc(), F.col("event_id").asc()],
+        k=2,
+    )
+    return out.select("user_id", "event_type", "event_id", "value", "order_pos")
+
+
+def q_interval_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval overlap join with INTERSECTION region builder
+    (``GenometricJoin.scala:345-372``, ``RegionBuilder.scala:11-13``):
+    purchase 1h-intervals × same-user error 10m-intervals."""
+    from gmql_spark.operators.join import interval_join
+
+    ev = _read(spark, sf_dir, "events")
+    refs = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("ref_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("interval 1 hour")).alias("end_ts"),
+    )
+    exps = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("exp_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("interval 10 minutes")).alias("end_ts"),
+    )
+    out = interval_join(refs, exps, keys=["user_id"], builder="intersection")
+    return out.select("ref_id", "exp_id", "user_id", "int_start", "int_end")
+
+
+def q_summits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUMMIT (``GenometricCover.scala:269-316``): local-maximum
+    concurrency segments of 10-minute event intervals."""
+    from gmql_spark.operators.cover import summits
+
+    ev = _read(spark, sf_dir, "events")
+    iv = ev.select(
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("interval 600 seconds")).alias("end_ts"),
+    )
+    return summits(iv)
+
+
 def q_union_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION with provenance attribute (UnionMD adds ``_provenance``,
     ``UnionMD.scala:51``; UnionRD schema-merge ≙ unionByName)."""
@@ -469,6 +543,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semijoin": q_semijoin,
         "difference": q_difference,
         "asof_join": q_asof_join,
+        "nearest_k": q_nearest_k,
+        "topg": q_topg,
+        "interval_intersect": q_interval_intersect,
+        "summits": q_summits,
         "union_provenance": q_union_provenance,
         "cover_accumulation": q_cover_accumulation,
         "dedup_exact": q_dedup_exact,
@@ -719,6 +797,72 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
             ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
             ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "nearest_k": """
+            SELECT event_id, user_id, ts, click_ts, distance_s, nn_rank FROM (
+                SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts,
+                       CAST(epoch_us(p.ts) - epoch_us(c.ts) AS DOUBLE)/1e6 AS distance_s,
+                       row_number() OVER (
+                           PARTITION BY p.event_id
+                           ORDER BY abs(epoch_us(p.ts) - epoch_us(c.ts)), c.ts) AS nn_rank
+                FROM (SELECT event_id, user_id, ts FROM events
+                      WHERE event_type = 'purchase') p
+                JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+                  ON c.user_id = p.user_id
+                 AND abs(epoch_us(p.ts) - epoch_us(c.ts)) <= 1800000000
+            ) WHERE nn_rank <= 3
+        """,
+        "topg": """
+            SELECT user_id, event_type, event_id, value, order_pos FROM (
+                SELECT user_id, event_type, event_id, value,
+                       row_number() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY value DESC, event_id ASC) AS order_pos
+                FROM events
+            ) WHERE order_pos <= 2
+        """,
+        "interval_intersect": """
+            WITH p AS (
+                SELECT event_id AS ref_id, user_id, ts AS s,
+                       ts + INTERVAL '1 hour' AS e
+                FROM events WHERE event_type = 'purchase'
+            ), x AS (
+                SELECT event_id AS exp_id, user_id, ts AS s,
+                       ts + INTERVAL '10 minutes' AS e
+                FROM events WHERE event_type = 'error'
+            )
+            SELECT ref_id, exp_id, p.user_id,
+                   greatest(p.s, x.s) AS int_start, least(p.e, x.e) AS int_end
+            FROM p JOIN x ON x.user_id = p.user_id AND p.s < x.e AND x.s < p.e
+        """,
+        "summits": """
+            WITH iv AS (
+                SELECT ts AS start_ts, ts + INTERVAL '600 seconds' AS end_ts FROM events
+            ), pts AS (
+                SELECT start_ts AS t, 1 AS d FROM iv
+                UNION ALL SELECT end_ts AS t, -1 AS d FROM iv
+            ), per_t AS (
+                SELECT t, sum(d) AS d FROM pts GROUP BY t HAVING sum(d) <> 0
+            ), s AS (
+                SELECT t,
+                       sum(d) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS acc,
+                       lead(t) OVER (ORDER BY t) AS next_t
+                FROM per_t
+            ), seg AS (
+                SELECT t AS acc_start, next_t AS acc_end, acc
+                FROM s WHERE acc > 0 AND next_t IS NOT NULL
+            ), nb AS (
+                SELECT *,
+                       lag(acc)       OVER (ORDER BY acc_start) AS pa,
+                       lag(acc_end)   OVER (ORDER BY acc_start) AS pe,
+                       lead(acc)      OVER (ORDER BY acc_start) AS na,
+                       lead(acc_start) OVER (ORDER BY acc_start) AS ns
+                FROM seg
+            )
+            SELECT acc_start, acc_end, CAST(acc AS BIGINT) AS acc
+            FROM nb
+            WHERE acc >  coalesce(CASE WHEN pe = acc_start THEN pa ELSE 0 END, 0)
+              AND acc >= coalesce(CASE WHEN ns = acc_end   THEN na ELSE 0 END, 0)
         """,
         "union_provenance": """
             SELECT event_id, user_id, event_type, 'left' AS _provenance

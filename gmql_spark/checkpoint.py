@@ -48,15 +48,34 @@ class Manifest:
         self.path = path
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
 
-    def done_buckets(self) -> set[int]:
+    def entries(self) -> list[dict]:
         if not os.path.exists(self.path):
-            return set()
+            return []
         with open(self.path) as f:
-            return {
-                e["bucket"]
-                for e in (json.loads(line) for line in f if line.strip())
-                if e.get("status") == "done"
-            }
+            return [json.loads(line) for line in f if line.strip()]
+
+    def done_buckets(self, n_buckets: int | None = None) -> set[int]:
+        """Completed bucket indices. When ``n_buckets`` is given, refuse
+        to resume a manifest written with a different bucket count —
+        bucket indices are only comparable under the same pmod
+        partitioning (mixing them silently skips the wrong buckets and
+        corrupts the resumed output)."""
+        done = set()
+        for e in self.entries():
+            if e.get("status") != "done":
+                continue
+            if (
+                n_buckets is not None
+                and e.get("n_buckets") is not None
+                and e["n_buckets"] != n_buckets
+            ):
+                raise ValueError(
+                    f"manifest {self.path} was written with n_buckets="
+                    f"{e['n_buckets']}, cannot resume with n_buckets={n_buckets}; "
+                    "use a fresh out_dir or rerun with the original bucket count"
+                )
+            done.add(e["bucket"])
+        return done
 
     def append(self, entry: dict) -> None:
         with open(self.path, "a") as f:
@@ -65,7 +84,7 @@ class Manifest:
 
 def run_pipeline(
     spark: SparkSession,
-    raw: DataFrame,
+    raw: DataFrame | None,
     out_dir: str,
     tiers: Sequence[str] = ("1m", "1h", "1d"),
     n_buckets: int = 8,
@@ -75,21 +94,48 @@ def run_pipeline(
     fail_after: int | None = None,
     on_bucket_done: Callable[[dict], None] | None = None,
     compress: bool = False,
+    raw_path: str | None = None,
 ) -> dict:
     """Run the tier rollup bucket-by-bucket with checkpoint/resume.
 
     Buckets are ``pmod(xxhash64(key), n_buckets)`` — deterministic, and
-    aligned with the storage layout's bucket transform so a bucketed
-    input table prunes instead of scanning. ``fail_after`` kills the run
+    aligned with the storage layout's bucket transform. **Pass
+    ``raw_path``** (a table written by ``catalog.write_transcripts`` with
+    the same ``n_buckets``) to make each bucket job PARTITION-PRUNE to
+    its own ``conv_bucket=<b>`` directory — 1/n of the input scanned per
+    bucket job. With only a ``raw`` DataFrame the per-bucket filter is on
+    a computed hash, so every bucket job scans the full input (n_buckets×
+    scan amplification — fine for in-memory tests, a scale-killer on a
+    real table). ``fail_after`` kills the run
     after N buckets (test hook for kill/resume equivalence).
     ``compress=True`` additionally writes Gorilla-packed streams of each
     tier's turn_count series (``gorilla_<tier>/bucket=<b>``: delta-of-
     delta timestamps + XOR values, north-rule storage codec).
     """
+    if raw is None and raw_path is None:
+        raise ValueError("provide raw (DataFrame) or raw_path (bucketed table)")
+    if raw_path is not None:
+        # the job's bucket range must cover the table's layout, or high
+        # buckets would silently never be processed
+        import re
 
+        try:
+            found = {
+                int(m.group(1))
+                for d in os.listdir(raw_path)
+                if (m := re.match(r"conv_bucket=(\d+)$", d))
+            }
+        except OSError:
+            found = set()
+        if found and max(found) >= n_buckets:
+            raise ValueError(
+                f"table at {raw_path} has conv_bucket up to {max(found)} but "
+                f"n_buckets={n_buckets}; pass the n_buckets the table was "
+                "written with"
+            )
 
     manifest = Manifest(f"{out_dir}/_manifest.jsonl")
-    done = manifest.done_buckets()
+    done = manifest.done_buckets(n_buckets=n_buckets)
     ran = skipped = 0
     for b in range(n_buckets):
         if b in done:
@@ -98,7 +144,14 @@ def run_pipeline(
         if fail_after is not None and ran >= fail_after:
             raise RuntimeError(f"injected failure after {ran} buckets")
         t0 = time.time()
-        part = raw.filter(F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)) == b)
+        if raw_path is not None:
+            # partition-pruned scan: only the conv_bucket=<b> dirs are
+            # read (PartitionFilters in the plan — asserted by tests)
+            from gmql_spark.sources.catalog import read_transcripts
+
+            part = read_transcripts(spark, raw_path, buckets=[b])
+        else:
+            part = raw.filter(F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)) == b)
         meta = part.agg(
             F.count(F.lit(1)).alias("rows_in"), F.max(ts).alias("watermark")
         ).collect()[0]
@@ -142,7 +195,9 @@ def run_pipeline(
                 tier_stats[tier]["gorilla_bytes"] = g_bytes
         entry = {
             "bucket": b,
+            "n_buckets": n_buckets,
             "status": "done",
+            "source": raw_path or "<dataframe>",
             "rows_in": meta.rows_in,
             "watermark": meta.watermark,
             "tiers": tier_stats,

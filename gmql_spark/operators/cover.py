@@ -18,6 +18,17 @@ Variants (``CoverFlag``):
 - ``cover(min_acc, max_acc)`` ≙ COVER: maximal intervals where
   min<=acc<=max, value = max acc inside (``:172-218``).
 - ``summits`` ≙ SUMMIT: local maxima runs (``:269-316``).
+- ``flat_cover`` ≙ FLAT: islands widened to contributor footprint
+  (``GMAP4.scala:83-84``) via a bucketed overlap join (NOT a cartesian
+  product).
+
+Keyless (global) sweeps never use a single-partition global window:
+every ordered pass — running sum, lag/lead neighbors, island
+sessionization — is a two-level scheme: range-partition by time,
+partition-local window, then patch partition boundaries from a tiny
+broadcast frame of per-partition edge values (the distributed prefix-sum
+trick; the reference has the same hot-bin problem per chromosome and
+does not solve it).
 
 Transcript recast: concurrent-conversation / concurrent-tool-call
 density over time; count==0 islands are the gap-detection targets.
@@ -31,6 +42,76 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+
+# ----------------------------------------------- keyless two-level helpers
+
+def _with_pid(df: DataFrame, order_col: str) -> DataFrame:
+    """Range-partition by ``order_col`` and stamp the partition id.
+    All keyless ordered passes below are partition-local windows over
+    ``_pid`` plus a boundary patch — no one-partition global window."""
+    return df.repartitionByRange(order_col).withColumn("_pid", F.spark_partition_id())
+
+
+def _keyless_cumsum(df_pid: DataFrame, order_col: str, col: str, out: str) -> DataFrame:
+    """Global running sum of ``col`` in ``order_col`` order, distributed:
+    partition-local cumsum + per-partition offsets (cumsum of the tiny
+    per-partition totals, broadcast back)."""
+    w_local = (
+        Window.partitionBy("_pid").orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = df_pid.withColumn("_local_cum", F.sum(col).over(w_local))
+    ptotals = df_pid.groupBy("_pid").agg(F.sum(col).alias("_ptotal"))
+    w_p = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = ptotals.select(
+        "_pid", F.coalesce(F.sum("_ptotal").over(w_p), F.lit(0)).alias("_offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out, F.col("_local_cum") + F.col("_offset"))
+        .drop("_local_cum", "_offset")
+    )
+
+
+def _keyless_neighbors(
+    df_pid: DataFrame,
+    order_col: str,
+    lag_cols: Sequence[str] = (),
+    lead_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Add ``_prev_<c>`` / ``_next_<c>`` in global ``order_col`` order:
+    partition-local lag/lead, with each partition's first/last row
+    patched from the neighboring partition's edge values (tiny broadcast
+    frame). Source columns must be non-null (true for sweep segments),
+    so a null local lag/lead means "partition edge"."""
+    w = Window.partitionBy("_pid").orderBy(order_col)
+    out = df_pid
+    for c in lag_cols:
+        out = out.withColumn(f"_prev_{c}", F.lag(c).over(w))
+    for c in lead_cols:
+        out = out.withColumn(f"_next_{c}", F.lead(c).over(w))
+    edge_aggs = [F.max_by(c, order_col).alias(f"_last_{c}") for c in set(lag_cols)] + [
+        F.min_by(c, order_col).alias(f"_first_{c}") for c in set(lead_cols)
+    ]
+    edges = df_pid.groupBy("_pid").agg(*edge_aggs)
+    w_p = Window.orderBy("_pid")
+    patch = edges.select(
+        "_pid",
+        *[F.lag(f"_last_{c}").over(w_p).alias(f"_patch_prev_{c}") for c in lag_cols],
+        *[F.lead(f"_first_{c}").over(w_p).alias(f"_patch_next_{c}") for c in lead_cols],
+    )
+    out = out.join(F.broadcast(patch), "_pid")
+    for c in lag_cols:
+        out = out.withColumn(
+            f"_prev_{c}", F.coalesce(F.col(f"_prev_{c}"), F.col(f"_patch_prev_{c}"))
+        ).drop(f"_patch_prev_{c}")
+    for c in lead_cols:
+        out = out.withColumn(
+            f"_next_{c}", F.coalesce(F.col(f"_next_{c}"), F.col(f"_patch_next_{c}"))
+        ).drop(f"_patch_next_{c}")
+    return out
+
+
+# ------------------------------------------------------------ accumulation
 
 def accumulation(
     df: DataFrame,
@@ -56,40 +137,12 @@ def accumulation(
             "next_t", F.lead("t").over(w_next)
         )
     else:
-        # keyless sweep: a global Window would funnel everything through
-        # ONE partition (the reference has the same issue per chromosome
-        # — a hot chrom is a hot bin). Distributed two-level prefix sum:
-        # range-partition by t, partition-local cumsum, then add each
-        # partition's offset (cumsum of tiny per-partition totals joined
-        # back by partition id). lead() for next_t is partition-local
-        # too; the last row of each partition takes the next partition's
-        # first t from the same tiny frame.
-        parts = per_t.repartitionByRange("t").sortWithinPartitions("t")
-        parts = parts.withColumn("_pid", F.spark_partition_id())
-        w_local = (
-            Window.partitionBy("_pid").orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
-        )
-        w_plocal = Window.partitionBy("_pid").orderBy("t")
-        local = parts.withColumn("_local_acc", F.sum("d").over(w_local)).withColumn(
-            "_local_next", F.lead("t").over(w_plocal)
-        )
-        ptotals = (
-            local.groupBy("_pid")
-            .agg(F.sum("d").alias("_ptotal"), F.min("t").alias("_pfirst"))
-        )
-        w_p = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-        w_pn = Window.orderBy("_pid")
-        offsets = ptotals.select(
-            "_pid",
-            F.coalesce(F.sum("_ptotal").over(w_p), F.lit(0)).alias("_offset"),
-            F.lead("_pfirst").over(w_pn).alias("_next_pfirst"),
-        )
-        stepped = (
-            local.join(F.broadcast(offsets), "_pid")
-            .withColumn("acc", F.col("_local_acc") + F.col("_offset"))
-            .withColumn("next_t", F.coalesce(F.col("_local_next"), F.col("_next_pfirst")))
-            .drop("_pid", "_local_acc", "_local_next", "_offset", "_next_pfirst", "_pfirst")
-        )
+        # keyless sweep: distributed two-level prefix sum + neighbor patch
+        pid = _with_pid(per_t, "t")
+        cum = _keyless_cumsum(pid, "t", "d", "acc")
+        stepped = _keyless_neighbors(cum, "t", lead_cols=["t"]).withColumnRenamed(
+            "_next_t", "next_t"
+        ).drop("_pid")
     return (
         stepped.filter(F.col("acc") > 0)
         .filter(F.col("next_t").isNotNull())
@@ -99,6 +152,35 @@ def accumulation(
             F.col("next_t").alias("acc_end"),
             F.col("acc").cast("long").alias("acc"),
         )
+    )
+
+
+def _islands(acc_segs: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Sessionize in-range segments into islands: a new island starts
+    wherever the previous segment (in time order) is not temporally
+    adjacent. Keyed: plain windows. Keyless: two-level (partition-local
+    flags + broadcast boundary patch + distributed cumsum) so no global
+    single-partition window exists in the plan."""
+    if keys:
+        w = Window.partitionBy(*keys).orderBy("acc_start")
+        flagged = acc_segs.withColumn(
+            "_new_island",
+            F.when(F.lag("acc_end").over(w) == F.col("acc_start"), F.lit(0)).otherwise(F.lit(1)),
+        )
+        w_cum = Window.partitionBy(*keys).orderBy("acc_start").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        return flagged.withColumn("_island", F.sum("_new_island").over(w_cum)).drop(
+            "_new_island"
+        )
+    pid = _with_pid(acc_segs, "acc_start")
+    nb = _keyless_neighbors(pid, "acc_start", lag_cols=["acc_end"])
+    flagged = nb.withColumn(
+        "_new_island",
+        F.when(F.col("_prev_acc_end") == F.col("acc_start"), F.lit(0)).otherwise(F.lit(1)),
+    ).drop("_prev_acc_end")
+    return _keyless_cumsum(flagged, "acc_start", "_new_island", "_island").drop(
+        "_new_island", "_pid"
     )
 
 
@@ -118,15 +200,7 @@ def cover(
     in_range = F.col("acc") >= min_acc
     if max_acc is not None:
         in_range = in_range & (F.col("acc") <= max_acc)
-    w = Window.partitionBy(*keys).orderBy("acc_start")
-    flagged = acc.filter(in_range).withColumn(
-        "_new_island",
-        F.when(F.lag("acc_end").over(w) == F.col("acc_start"), F.lit(0)).otherwise(F.lit(1)),
-    )
-    w_cum = Window.partitionBy(*keys).orderBy("acc_start").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    islands = flagged.withColumn("_island", F.sum("_new_island").over(w_cum))
+    islands = _islands(acc.filter(in_range), keys)
     return (
         islands.groupBy(*keys, "_island")
         .agg(
@@ -145,23 +219,38 @@ def flat_cover(
     keys: Sequence[str] = (),
     start_ts: str = "start_ts",
     end_ts: str = "end_ts",
+    bucket_s: float = 3600.0,
 ) -> DataFrame:
     """FLAT variant (``GMAP4.scala:83-84``): like :func:`cover` but each
     island is widened to the full footprint of the intervals that touch
-    it (min start / max end of contributors)."""
-    from gmql_spark.operators.join import range_join  # noqa: F401 (doc xref)
+    it (min start / max end of contributors).
 
+    The island×interval overlap is a bucketed equi-join (both sides
+    exploded to the ``bucket_s``-wide time buckets they span, equi-join
+    on bucket + residual overlap) — never a cartesian product. Duplicate
+    (island, interval) matches across shared buckets are harmless under
+    the min/max footprint aggregate, so no ownership dedup is needed.
+    """
     islands = cover(df, min_acc, max_acc, keys=keys, start_ts=start_ts, end_ts=end_ts)
-    iv = df.select(
-        *keys, F.col(start_ts).alias("_ivs"), F.col(end_ts).alias("_ive")
-    )
-    cond = [F.col("_ivs") < F.col("cover_end"), F.col("_ive") > F.col("cover_start")]
-    joined = (
-        islands.join(iv, on=list(keys), how="inner") if keys else islands.crossJoin(iv)
-    ).filter(cond[0] & cond[1])
-    return joined.groupBy(*keys, "cover_start", "cover_end", "acc_max").agg(
-        F.min("_ivs").alias("flat_start"), F.max("_ive").alias("flat_end")
-    )
+    iv = df.select(*keys, F.col(start_ts).alias("_ivs"), F.col(end_ts).alias("_ive"))
+    bucket_us = max(int(bucket_s * 1e6), 1)
+
+    def span_buckets(lo, hi):
+        return F.explode(
+            F.sequence(
+                F.floor(F.unix_micros(lo) / F.lit(bucket_us)).cast("long"),
+                F.floor(F.unix_micros(hi) / F.lit(bucket_us)).cast("long"),
+            )
+        )
+
+    isl_b = islands.withColumn("_bucket", span_buckets(F.col("cover_start"), F.col("cover_end")))
+    iv_b = iv.withColumn("_bucket", span_buckets(F.col("_ivs"), F.col("_ive")))
+    cond = [isl_b["_bucket"] == iv_b["_bucket"]] + [isl_b[k] == iv_b[k] for k in keys]
+    cond += [iv_b["_ivs"] < isl_b["cover_end"], iv_b["_ive"] > isl_b["cover_start"]]
+    joined = isl_b.join(iv_b, cond, "inner")
+    return joined.groupBy(
+        *[isl_b[k] for k in keys], "cover_start", "cover_end", "acc_max"
+    ).agg(F.min("_ivs").alias("flat_start"), F.max("_ive").alias("flat_end"))
 
 
 def summits(
@@ -175,14 +264,31 @@ def summits(
     neighbors' (strictly greater than at least one side handled by the
     island dedup — first segment of each equal-acc plateau wins)."""
     acc = accumulation(df, keys=keys, start_ts=start_ts, end_ts=end_ts)
-    w = Window.partitionBy(*keys).orderBy("acc_start")
-    prev_acc = F.lag("acc").over(w)
-    next_acc = F.lead("acc").over(w)
-    prev_end = F.lag("acc_end").over(w)
-    next_start = F.lead("acc_start").over(w)
+    if keys:
+        w = Window.partitionBy(*keys).orderBy("acc_start")
+        nb = (
+            acc.withColumn("_prev_acc", F.lag("acc").over(w))
+            .withColumn("_next_acc", F.lead("acc").over(w))
+            .withColumn("_prev_acc_end", F.lag("acc_end").over(w))
+            .withColumn("_next_acc_start", F.lead("acc_start").over(w))
+        )
+    else:
+        nb = _keyless_neighbors(
+            _with_pid(acc, "acc_start"),
+            "acc_start",
+            lag_cols=["acc", "acc_end"],
+            lead_cols=["acc", "acc_start"],
+        ).drop("_pid")
     # neighbor only counts if temporally adjacent (same island)
-    left_acc = F.when(prev_end == F.col("acc_start"), prev_acc).otherwise(F.lit(0))
-    right_acc = F.when(next_start == F.col("acc_end"), next_acc).otherwise(F.lit(0))
-    return acc.withColumn("_l", left_acc).withColumn("_r", right_acc).filter(
-        (F.col("acc") > F.col("_l")) & (F.col("acc") >= F.col("_r"))
-    ).drop("_l", "_r")
+    left_acc = F.when(
+        F.col("_prev_acc_end") == F.col("acc_start"), F.col("_prev_acc")
+    ).otherwise(F.lit(0))
+    right_acc = F.when(
+        F.col("_next_acc_start") == F.col("acc_end"), F.col("_next_acc")
+    ).otherwise(F.lit(0))
+    return (
+        nb.withColumn("_l", left_acc)
+        .withColumn("_r", right_acc)
+        .filter((F.col("acc") > F.col("_l")) & (F.col("acc") >= F.col("_r")))
+        .select(*keys, "acc_start", "acc_end", "acc")
+    )

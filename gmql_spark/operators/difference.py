@@ -31,8 +31,12 @@ def temporal_difference(
     exact: bool = False,
 ) -> DataFrame:
     """Left rows with NO right row within ``max_distance_s`` seconds on
-    the same keys (or at the exact same timestamp when ``exact``)."""
-    if exact:
+    the same keys (or at the exact same timestamp when ``exact``).
+
+    ``max_distance_s=0`` means |Δts| <= 0, i.e. exact-timestamp matching —
+    routed to the equi left_anti path (a clamped 1µs bucket would wrongly
+    suppress rows exactly 1µs apart)."""
+    if exact or max_distance_s <= 0.0:
         r = right.select(*keys, F.col(right_ts).alias(left_ts)).distinct()
         return left.join(r, on=[*keys, left_ts], how="left_anti")
 

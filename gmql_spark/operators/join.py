@@ -89,6 +89,176 @@ def asof_join(
     return out
 
 
+def nearest_k(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    k: int = 1,
+    max_distance_s: float = 3600.0,
+    left_id: str = "event_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: Sequence[str] = (),
+    direction: str = "both",
+    suffix: str = "_r",
+) -> DataFrame:
+    """Top-k nearest right rows per left row by |Δts| — GMQL
+    ``MinDistance(k)`` (``GenometricJoin.scala:130-151``: per-ref
+    groupByKey + sort over binned candidates). The reference searches an
+    unbounded radius by replicating across bins; here the search radius
+    is an explicit ``max_distance_s`` bound so candidates come from the
+    bucketed equi-prefix join and the top-k is a per-left-row window
+    rank — fully distributed, no driver sort, candidate volume ∝ rows
+    within the radius.
+
+    ``direction``: ``'both'`` | ``'backward'`` (right at-or-before left,
+    GMQL Upstream) | ``'forward'`` (at-or-after, Downstream). Ties on
+    |Δts| break by right timestamp ascending (deterministic).
+
+    Output: left columns + ``<right_ts><suffix>`` + suffixed
+    ``right_cols`` + ``distance_s`` (signed: positive = right before
+    left) + ``nn_rank`` (1-based).
+    """
+    bucket_us = max(int(max_distance_s * 1e6), 1)
+    lus = F.unix_micros(F.col(left_ts))
+    rus = F.unix_micros(F.col(f"{right_ts}{suffix}"))
+    lb = left.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence((lus / bucket_us).cast("long") - 1, (lus / bucket_us).cast("long") + 1)
+        ),
+    )
+    rsel = right.select(
+        *keys,
+        F.col(right_ts).alias(f"{right_ts}{suffix}"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+    ).withColumn("_bucket", (rus / bucket_us).cast("long"))
+    signed_us = F.unix_micros(lb[left_ts]) - F.unix_micros(rsel[f"{right_ts}{suffix}"])
+    cond = [lb["_bucket"] == rsel["_bucket"]] + [lb[kk] == rsel[kk] for kk in keys]
+    cond.append(F.abs(signed_us) <= bucket_us)
+    if direction == "backward":
+        cond.append(signed_us >= 0)
+    elif direction == "forward":
+        cond.append(signed_us <= 0)
+    joined = lb.join(rsel, cond, "inner").drop("_bucket")
+    for kk in keys:  # keep the left copy of each join key only
+        joined = joined.drop(rsel[kk])
+    dist_us_col = F.unix_micros(F.col(left_ts)) - F.unix_micros(F.col(f"{right_ts}{suffix}"))
+    w = Window.partitionBy(left_id).orderBy(
+        F.abs(dist_us_col).asc(), F.col(f"{right_ts}{suffix}").asc()
+    )
+    return (
+        joined.withColumn("distance_s", dist_us_col / F.lit(1e6))
+        .withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= k)
+    )
+
+
+BUILDERS = ("both", "left", "right", "intersection", "contig")
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str] = (),
+    max_distance_s: float = 0.0,
+    bucket_s: float = 3600.0,
+    left_start: str = "start_ts",
+    left_end: str = "end_ts",
+    right_start: str = "start_ts",
+    right_end: str = "end_ts",
+    builder: str = "both",
+    distinct: bool = False,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Interval overlap/proximity join with GMQL region-builder output
+    variants (``GenometricJoin.scala:345-372``,
+    ``RegionBuilder.scala:11-13``).
+
+    Match: the two intervals overlap after extending the left one by
+    ``max_distance_s`` on both ends, i.e.
+    ``l.start - d < r.end AND r.start < l.end + d`` (d=0 → strict
+    overlap, GMQL's ``DistLess`` with negative distance iff overlap,
+    ``:375-386``).
+
+    Physical plan: both sides exploded to the ``bucket_s``-wide time
+    buckets their (extended) span covers → equi-join on (bucket, keys) +
+    residual — the reference's binning trick (``:284-331``) expressed
+    declaratively. Duplicate matches across shared buckets are removed
+    by the owner-bucket test (pair counted only in the first bucket both
+    spans share, the reference's bin-ownership check ``:117-127``).
+
+    ``builder``:
+    - ``'both'``: all left columns + all right columns (suffixed on
+      collision) — GMQL BOTH.
+    - ``'left'`` / ``'right'``: that side's coordinates + both payloads —
+      with ``distinct=True`` ≙ LEFT_DISTINCT/RIGHT_DISTINCT
+      (whole-row dedup, ``:205-233``).
+    - ``'intersection'``: adds ``int_start``/``int_end`` =
+      greatest(starts)/least(ends) — GMQL INT.
+    - ``'contig'``: adds ``contig_start``/``contig_end`` =
+      least(starts)/greatest(ends) — GMQL CONTIG.
+    """
+    if builder not in BUILDERS:
+        raise ValueError(f"builder must be one of {BUILDERS}")
+    keys = list(keys)
+    bucket_us = max(int(bucket_s * 1e6), 1)
+    dist_us = int(max_distance_s * 1e6)
+
+    # rename right columns that collide with left (keys join+drop)
+    lcols = set(left.columns)
+    ren = {c: (c + suffix if c in lcols else c) for c in right.columns if c not in keys}
+    r2 = right.select(*keys, *[F.col(c).alias(n) for c, n in ren.items()])
+    rs, re_ = ren[right_start], ren[right_end]
+
+    lb = left.withColumn(
+        "_lb0", F.floor((F.unix_micros(F.col(left_start)) - dist_us) / F.lit(bucket_us)).cast("long")
+    ).withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.col("_lb0"),
+                F.floor((F.unix_micros(F.col(left_end)) + dist_us) / F.lit(bucket_us)).cast("long"),
+            )
+        ),
+    )
+    rb = r2.withColumn(
+        "_rb0", F.floor(F.unix_micros(F.col(rs)) / F.lit(bucket_us)).cast("long")
+    ).withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.col("_rb0"),
+                F.floor(F.unix_micros(F.col(re_)) / F.lit(bucket_us)).cast("long"),
+            )
+        ),
+    )
+    cond = [lb["_bucket"] == rb["_bucket"]] + [lb[kk] == rb[kk] for kk in keys]
+    cond += [
+        F.unix_micros(lb[left_start]) - dist_us < F.unix_micros(rb[re_]),
+        F.unix_micros(rb[rs]) < F.unix_micros(lb[left_end]) + dist_us,
+        # owner-bucket dedup: count the pair only in the first shared bucket
+        lb["_bucket"] == F.greatest(lb["_lb0"], rb["_rb0"]),
+    ]
+    j = lb.join(rb, cond, "inner").drop("_bucket", "_lb0", "_rb0")
+    for kk in keys:  # keep the left copy of each join key only
+        j = j.drop(rb[kk])
+
+    if builder == "left":
+        j = j.drop(rs, re_)
+    elif builder == "right":
+        j = j.drop(left_start, left_end)
+    elif builder == "intersection":
+        j = j.withColumn("int_start", F.greatest(F.col(left_start), F.col(rs))).withColumn(
+            "int_end", F.least(F.col(left_end), F.col(re_))
+        )
+    elif builder == "contig":
+        j = j.withColumn("contig_start", F.least(F.col(left_start), F.col(rs))).withColumn(
+            "contig_end", F.greatest(F.col(left_end), F.col(re_))
+        )
+    return j.distinct() if distinct else j
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,
@@ -101,9 +271,21 @@ def range_join(
     """All (left, right) pairs with |left_ts - right_ts| <= max_distance
     within each key (GMQL ``DistLess``). Bucketed equi-prefix: the left
     side is exploded to its bucket ±1 so the range predicate becomes an
-    equi-join (bucket, keys) + residual filter — Catalyst plans a normal
-    shuffled hash/sort-merge join instead of a broadcast-nested-loop.
+    equi-join (bucket, keys) + residual predicate — Catalyst plans a
+    normal shuffled hash/sort-merge join instead of a
+    broadcast-nested-loop.
+
+    Only ``how='inner'`` is supported: each left row exists in 3 exploded
+    bucket copies, so outer variants would emit duplicate null-extended
+    rows (and a post-join residual filter would silently drop them) —
+    rejected explicitly rather than returning wrong results.
     """
+    if how != "inner":
+        raise ValueError(
+            "range_join supports how='inner' only (outer variants would "
+            "duplicate null-extended rows across exploded buckets); use "
+            "nearest_k/asof_join/interval_join for other semantics"
+        )
     bucket_us = int(max_distance_s * 1e6)
     lus = F.unix_micros(F.col(left_ts))
     rus = F.unix_micros(F.col(right_ts))
@@ -114,9 +296,8 @@ def range_join(
         ),
     )
     rb = right.withColumn("_bucket", (rus / bucket_us).cast("long"))
-    cond = [lb["_bucket"] == rb["_bucket"]] + [lb[k] == rb[k] for k in keys]
-    joined = lb.join(rb, cond, how)
     residual = (
         F.abs(F.unix_micros(lb[left_ts]) - F.unix_micros(rb[right_ts])) <= bucket_us
     )
-    return joined.filter(residual).drop("_bucket")
+    cond = [lb["_bucket"] == rb["_bucket"]] + [lb[k] == rb[k] for k in keys] + [residual]
+    return lb.join(rb, cond, how).drop("_bucket")

@@ -42,6 +42,23 @@ def topk_per_key(
     return rank_per_key(df, keys, order_by, rank_col).filter(F.col(rank_col) <= k)
 
 
+def topg_per_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    group_cols: Sequence[str],
+    order_by: Sequence[Column | str],
+    k: int,
+    rank_col: str = "order_pos",
+) -> DataFrame:
+    """Top-k rows per value-group within each key (GMQL ``TopG(k)``,
+    ``OrderRD.scala`` TopG variant / ``IROperators.scala:240-242``): the
+    grouping values join the window partition key, so ranking stays one
+    shuffled Tungsten sort over (keys ++ groups) — no driver collect
+    (the reference's OrderMD group variant sorts on the driver,
+    ``OrderMD.scala:54-184``)."""
+    return topk_per_key(df, [*keys, *group_cols], order_by, k, rank_col)
+
+
 def top_percent_per_key(
     df: DataFrame,
     keys: Sequence[str],

@@ -38,17 +38,21 @@ def get_spark(
     """
     if cores is None:
         cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
-    master = f"local[{cores}]"
     n_cores = os.cpu_count() or 8
     if isinstance(cores, int) or (isinstance(cores, str) and cores.isdigit()):
         n_cores = int(cores)
     if shuffle_partitions is None:
         shuffle_partitions = max(8, n_cores * DEFAULT_SHUFFLE_PARTITIONS_PER_CORE)
 
+    builder = SparkSession.builder.appName(app_name)
+    # Under spark-submit the gateway JVM already exists (PYSPARK_GATEWAY_PORT
+    # is set) and carries the CLI --master; setting .master() here would
+    # override the cluster master with local[n]. Only set it when this
+    # process owns the JVM launch (tests, bench, plain `python`).
+    if "PYSPARK_GATEWAY_PORT" not in os.environ:
+        builder = builder.master(f"local[{cores}]")
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
-        .config("spark.sql.session.timeZone", "UTC")
+        builder.config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(n_cores))
         .config("spark.sql.adaptive.enabled", "true")

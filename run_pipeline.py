@@ -42,10 +42,12 @@ def main(argv=None) -> int:
     if args.synth:
         write_transcripts(transcripts_spark(spark, n_conv=args.synth), args.input,
                           n_buckets=args.buckets)
-    raw = read_transcripts(spark, args.input)
     tiers = tuple(t.strip() for t in args.tiers.split(",") if t.strip())
+    # raw_path (not a pre-read DataFrame) so each bucket job
+    # partition-prunes to its conv_bucket=<b> dirs — 1/n of input per job
     stats = run_pipeline(
-        spark, raw, args.out, tiers=tiers, n_buckets=args.buckets,
+        spark, None, args.out, tiers=tiers, n_buckets=args.buckets,
+        raw_path=args.input,
         lineage=f"input={args.input}", fail_after=args.fail_after,
         compress=args.compress,
         on_bucket_done=lambda e: print(f"bucket {e['bucket']}: rows_in={e['rows_in']} "

@@ -50,6 +50,40 @@ def test_kill_resume_equivalence(spark, tmp_path):
     )
 
 
+def test_pipeline_from_path_prunes_and_matches_dataframe_run(spark, tmp_path):
+    """run_pipeline(raw_path=...) must (a) produce the same tiers as the
+    DataFrame path, (b) partition-prune each bucket job, (c) refuse to
+    resume with a different n_buckets, (d) refuse a bucket count smaller
+    than the table layout."""
+    raw = datagen.transcripts_spark(spark, n_conv=60)
+    fact = str(tmp_path / "fact")
+    write_transcripts(raw, fact, n_buckets=4)
+
+    a, b = str(tmp_path / "via_df"), str(tmp_path / "via_path")
+    run_pipeline(spark, raw, a, tiers=("1m",), n_buckets=4)
+    run_pipeline(spark, None, b, tiers=("1m",), n_buckets=4, raw_path=fact)
+
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        _read_all(spark, a, "1m"), _read_all(spark, b, "1m"), check_dtype=False
+    )
+
+    # (b) the per-bucket read partition-prunes (the claim in the module
+    # docstring — previously false on the DataFrame path)
+    pruned = read_transcripts(spark, fact, buckets=[2])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "conv_bucket" in plan
+
+    # (c) n_buckets mismatch on resume is refused, not silently mixed
+    with pytest.raises(ValueError, match="n_buckets"):
+        run_pipeline(spark, None, b, tiers=("1m",), n_buckets=8, raw_path=fact)
+    # (d) bucket count below the table layout is refused
+    with pytest.raises(ValueError, match="conv_bucket up to"):
+        run_pipeline(spark, None, str(tmp_path / "fresh"), tiers=("1m",),
+                     n_buckets=2, raw_path=fact)
+
+
 def test_bucketed_layout_prunes_and_roundtrips(spark, tmp_path):
     raw = datagen.transcripts_spark(spark, n_conv=50)
     path = str(tmp_path / "fact")

@@ -76,3 +76,103 @@ def test_range_join_pairs(spark):
     out = range_join(left, right, keys=["k"], max_distance_s=300.0, left_ts="ts", right_ts="ts")
     pairs = {(r.lid, r.rid) for r in out.collect()}
     assert pairs == {(1, 10)}  # |0-4min|<=5min same key; 20min too far; b wrong key
+
+
+def test_nearest_k_semantics(spark):
+    """MinDistance(k): k nearest by |Δt| within the radius, ties by
+    right ts, direction filters honored."""
+    from gmql_spark.operators.join import nearest_k
+
+    left = spark.createDataFrame(
+        [(1, "a", ts(10)), (2, "a", ts(100))], "event_id long, k string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("a", ts(4)), ("a", ts(12)), ("a", ts(13)), ("a", ts(95)), ("b", ts(10))],
+        "k string, ts timestamp",
+    )
+    out = nearest_k(left, right, keys=["k"], k=2, max_distance_s=1800.0, left_id="event_id")
+    got = [(r.event_id, r.ts_r, r.nn_rank) for r in out.orderBy("event_id", "nn_rank").collect()]
+    assert got == [(1, ts(12), 1), (1, ts(13), 2), (2, ts(95), 1)]
+
+    back = nearest_k(
+        left, right, keys=["k"], k=2, max_distance_s=1800.0,
+        left_id="event_id", direction="backward",
+    )
+    got_b = [(r.event_id, r.ts_r, r.nn_rank) for r in back.orderBy("event_id", "nn_rank").collect()]
+    assert got_b == [(1, ts(4), 1), (2, ts(95), 1)]  # only rights at-or-before
+
+
+def test_interval_join_builders(spark):
+    """RegionBuilder variants (GenometricJoin.scala:345-372): output
+    interval construction + owner-bucket dedup (no duplicate pairs even
+    when intervals span many buckets)."""
+    from gmql_spark.operators.join import interval_join
+
+    # long intervals spanning several 10-min buckets force multi-bucket
+    # explosion; the owner-bucket test must still emit each pair once
+    lv = spark.createDataFrame(
+        [(1, "a", ts(0), ts(60))], "lid long, k string, start_ts timestamp, end_ts timestamp"
+    )
+    rv = spark.createDataFrame(
+        [(9, "a", ts(50), ts(70)), (8, "a", ts(70), ts(80)), (7, "b", ts(0), ts(60))],
+        "rid long, k string, start_ts timestamp, end_ts timestamp",
+    )
+    both = interval_join(lv, rv, keys=["k"], builder="both", bucket_s=600.0)
+    assert [(r.lid, r.rid) for r in both.collect()] == [(1, 9)]  # overlap only; exactly once
+
+    inter = interval_join(lv, rv, keys=["k"], builder="intersection", bucket_s=600.0).collect()[0]
+    assert (inter.int_start, inter.int_end) == (ts(50), ts(60))
+    contig = interval_join(lv, rv, keys=["k"], builder="contig", bucket_s=600.0).collect()[0]
+    assert (contig.contig_start, contig.contig_end) == (ts(0), ts(70))
+
+    # distance-extended: [0,60) within 700s of [70,80) -> match appears
+    near = interval_join(lv, rv, keys=["k"], max_distance_s=700.0, builder="both", bucket_s=600.0)
+    assert {(r.lid, r.rid) for r in near.collect()} == {(1, 9), (1, 8)}
+
+    # left builder + distinct ≙ LEFT_DISTINCT: one row per left interval
+    rv2 = spark.createDataFrame(
+        [(9, "a", ts(50), ts(70)), (10, "a", ts(55), ts(75))],
+        "rid long, k string, start_ts timestamp, end_ts timestamp",
+    )
+    ld = interval_join(
+        lv, rv2.drop("rid"), keys=["k"], builder="left", distinct=True, bucket_s=600.0
+    )
+    assert ld.count() == 1
+
+
+def test_topg_per_key(spark):
+    from pyspark.sql import functions as F
+
+    from gmql_spark.operators.order import topg_per_key
+
+    df = spark.createDataFrame(
+        [(u, g, v) for u in "xy" for g in "pq" for v in range(4)],
+        "u string, g string, v long",
+    )
+    out = topg_per_key(df, ["u"], ["g"], [F.col("v").desc()], 2)
+    assert out.count() == 8
+    assert out.groupBy("u", "g").count().filter("count != 2").count() == 0
+    assert {r.v for r in out.collect()} == {2, 3}
+
+
+def test_range_join_rejects_non_inner(spark):
+    """Outer variants would emit duplicate null-extended rows across the
+    exploded buckets — the API must refuse, not silently return inner."""
+    df = spark.createDataFrame([(1, "a", ts(0))], "lid long, k string, ts timestamp")
+    with pytest.raises(ValueError, match="inner"):
+        range_join(df, df, keys=["k"], max_distance_s=60.0, how="left")
+
+
+def test_temporal_difference_zero_distance_is_exact(spark):
+    """max_distance_s=0 means exact-timestamp matching; rows 1µs apart
+    must NOT be suppressed (the old clamped bucket made |Δ|<=1µs)."""
+    from gmql_spark.operators.difference import temporal_difference
+
+    t = dt.datetime(2026, 1, 1)
+    us = dt.timedelta(microseconds=1)
+    left = spark.createDataFrame(
+        [(1, "a", t), (2, "a", t + us)], "lid long, k string, ts timestamp"
+    )
+    right = spark.createDataFrame([("a", t)], "k string, ts timestamp")
+    kept = {r.lid for r in temporal_difference(left, right, keys=["k"], max_distance_s=0.0).collect()}
+    assert kept == {2}  # row at exactly t suppressed; row 1µs later kept

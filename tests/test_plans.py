@@ -63,6 +63,25 @@ def test_scan_pushdown(spark, tmp_path):
     ) or "conv_id" in plan.split("ReadSchema")[1][:200], "column pruning missing"
 
 
+def test_flat_cover_has_no_cartesian_product(spark):
+    """The keyless island×interval footprint join must be a bucketed
+    equi-join, never CartesianProduct / BroadcastNestedLoopJoin (the
+    islands×raw blowup at scale)."""
+    import datetime as dt
+
+    from gmql_spark.operators.cover import flat_cover
+
+    rows = [
+        (dt.datetime(2026, 1, 1, 0, m), dt.datetime(2026, 1, 1, 0, m + 10))
+        for m in range(0, 40, 5)
+    ]
+    iv = spark.createDataFrame(rows, "start_ts timestamp, end_ts timestamp")
+    out = flat_cover(iv, min_acc=2)
+    plan = physical_plan(out)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
 def test_semijoin_broadcasts(spark, raw):
     dims = datagen.gen_conversations(30)
     dim_df = spark.createDataFrame(dims)

@@ -16,7 +16,10 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _HERE)
+# python workers (Arrow UDFs in the Gorilla bench) import gmql_spark too
+os.environ["PYTHONPATH"] = _HERE + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 BENCH_QUERIES = [
     "rollup_1m",
@@ -31,8 +34,10 @@ BENCH_QUERIES = [
     "cover_accumulation",
     "map_intervals",
     "dedup_exact",
-    "minhash_lsh",
     "cosine_topk",
+    "nearest_k",
+    "interval_intersect",
+    "summits",
 ]
 
 
@@ -59,6 +64,20 @@ def main() -> int:
         times[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
 
+    # minhash on the engine's xxhash64 fast path (the CORRECTNESS gate
+    # keeps the portable-md5 mode for the exact DuckDB oracle; 64 md5
+    # string hashes per shingle are an oracle artifact, not the
+    # production plan — the bench measures the plan a user would run)
+    from pyspark.sql import functions as F
+
+    from gmql_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 2000)
+    t0 = time.perf_counter()
+    n = minhash_lsh_pairs(docs, num_perm=64, bands=16, threshold=0.5, hash_fn="xxhash64").count()
+    times["minhash_lsh"] = round(time.perf_counter() - t0, 3)
+    print(f"# minhash_lsh (xxhash64 path): {times['minhash_lsh']}s ({n} rows)", file=sys.stderr)
+
     # flagship transcript rollup throughput (BASELINE.json metric)
     from gmql_spark.datagen import ROLES, TOOL_NAMES, transcripts_spark
     from gmql_spark.operators.rollup import rollup_all_tiers
@@ -79,6 +98,24 @@ def main() -> int:
         df.write.mode("overwrite").format("noop").save()
     rollup_wall = time.perf_counter() - t0
     times["transcript_rollup_tiers"] = round(rollup_wall, 3)
+
+    # north-rule storage codec: Gorilla pack + unpack of the 1m tier's
+    # turn_count series through the Arrow grouped-map path
+    from gmql_spark.compression.gorilla import compress_series, decompress_series
+
+    series = tiers["1m"].select(
+        "conv_id", "window_start", tiers["1m"]["turn_count"].cast("double").alias("val")
+    )
+    t0 = time.perf_counter()
+    packed = compress_series(
+        series, keys=["conv_id"], ts_col="window_start", value_col="val"
+    ).persist()
+    n_pts = packed.agg({"n_points": "sum"}).collect()[0][0]
+    n_back = decompress_series(packed, keys=["conv_id"]).count()
+    times["gorilla_roundtrip"] = round(time.perf_counter() - t0, 3)
+    assert n_back == n_pts, (n_back, n_pts)
+    packed.unpersist()
+    print(f"# gorilla_roundtrip: {times['gorilla_roundtrip']}s ({n_pts} points)", file=sys.stderr)
     raw.unpersist()
 
     total = round(sum(times.values()), 3)

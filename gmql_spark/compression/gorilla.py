@@ -35,33 +35,101 @@ _U64 = (1 << 64) - 1
 
 
 class _BitWriter:
-    __slots__ = ("acc", "nbits")
+    """MSB-first bit packer. The accumulator is flushed to a bytearray
+    whenever it exceeds ``_FLUSH`` bits, so total cost is O(n) in stream
+    bits (a single growing bignum would make every write shift the whole
+    stream — O(n²), ~10x wall on real series). ``write_zeros`` appends a
+    run of '0' bits without materializing a huge shifted integer."""
+
+    __slots__ = ("acc", "nbits", "out")
+    _FLUSH = 1 << 12  # flush at 4096 bits; acc stays a small int
 
     def __init__(self):
         self.acc = 0
         self.nbits = 0
+        self.out = bytearray()
+
+    def _flush_whole_bytes(self):
+        emit_bits = self.nbits - (self.nbits % 8)
+        if emit_bits:
+            rem = self.nbits - emit_bits
+            self.out += (self.acc >> rem).to_bytes(emit_bits // 8, "big")
+            self.acc &= (1 << rem) - 1
+            self.nbits = rem
 
     def write(self, value: int, bits: int):
         self.acc = (self.acc << bits) | (value & ((1 << bits) - 1))
         self.nbits += bits
+        if self.nbits >= self._FLUSH:
+            self._flush_whole_bytes()
+
+    def write_zeros(self, bits: int):
+        # byte-align via the accumulator, then extend with zero bytes
+        while bits > 0 and (self.nbits % 8 or bits < 8):
+            self.write(0, 1)
+            bits -= 1
+        if bits >= 8:
+            self._flush_whole_bytes()
+            self.out += b"\x00" * (bits // 8)
+            bits %= 8
+        if bits:
+            self.write(0, bits)
 
     def bytes(self) -> bytes:
         pad = (-self.nbits) % 8
         total = self.nbits + pad
-        acc = self.acc << pad
-        return acc.to_bytes(total // 8, "big") if total else b""
+        tail = (self.acc << pad).to_bytes(total // 8, "big") if total else b""
+        return bytes(self.out) + tail
 
 
 class _BitReader:
-    __slots__ = ("data", "pos")
+    """MSB-first reader over 64-bit words: each ``read`` touches at most
+    two words — O(1) per read (an all-stream bignum shifted per read is
+    O(n) per read, O(n²) per stream)."""
+
+    __slots__ = ("words", "bitpos", "nbits")
 
     def __init__(self, data: bytes):
-        self.data = int.from_bytes(data, "big") if data else 0
-        self.pos = len(data) * 8
+        pad = (-len(data)) % 8
+        buf = data + b"\x00" * pad
+        self.words = np.frombuffer(buf, dtype=">u8").astype(np.uint64) if buf else np.empty(
+            0, dtype=np.uint64
+        )
+        self.bitpos = 0
+        self.nbits = len(data) * 8
 
     def read(self, bits: int) -> int:
-        self.pos -= bits
-        return (self.data >> self.pos) & ((1 << bits) - 1)
+        pos = self.bitpos
+        self.bitpos = pos + bits
+        wi, off = pos >> 6, pos & 63
+        avail = 64 - off
+        w0 = int(self.words[wi]) if wi < len(self.words) else 0
+        if bits <= avail:
+            return (w0 >> (avail - bits)) & ((1 << bits) - 1)
+        hi = w0 & ((1 << avail) - 1)
+        need = bits - avail
+        w1 = int(self.words[wi + 1]) if wi + 1 < len(self.words) else 0
+        return (hi << need) | (w1 >> (64 - need))
+
+    def count_zero_bits(self, limit: int) -> int:
+        """Consume and count consecutive '0' bits, up to ``limit`` —
+        word-at-a-time (leading-zero count), so a run of k zero flags
+        (repeated timestamps cadence / repeated values) costs O(k/64)
+        instead of k single-bit reads."""
+        n = 0
+        while n < limit:
+            pos = self.bitpos
+            wi, off = pos >> 6, pos & 63
+            w = int(self.words[wi]) if wi < len(self.words) else 0
+            chunk = (w << off) & _U64  # current bit aligned to MSB
+            avail = min(64 - off, limit - n)
+            lz = 64 - chunk.bit_length()
+            take = min(lz, avail)
+            n += take
+            self.bitpos += take
+            if take < avail:
+                break  # hit a '1' bit
+        return n
 
 
 def encode_timestamps(ts_us: np.ndarray) -> bytes:
@@ -76,10 +144,16 @@ def encode_timestamps(ts_us: np.ndarray) -> bytes:
     deltas = np.diff(ts)
     dods = np.diff(deltas, prepend=deltas[0] - deltas[0])
     dods[0] = deltas[0]  # first delta stored as a dod against 0
-    for dod in dods.tolist():
-        if dod == 0:
-            w.write(0, 1)
-        elif -63 <= dod <= 64:
+    # regular cadence -> almost all dods are 0; batch each zero run as a
+    # single write_zeros instead of n one-bit writes (numpy finds the
+    # runs, Python only touches the exceptional points)
+    nz = np.flatnonzero(dods)
+    prev = 0
+    for i in nz.tolist():
+        if i > prev:
+            w.write_zeros(i - prev)
+        dod = int(dods[i])
+        if -63 <= dod <= 64:
             w.write(0b10, 2)
             w.write(dod + 63, 7)
         elif -255 <= dod <= 256:
@@ -91,6 +165,9 @@ def encode_timestamps(ts_us: np.ndarray) -> bytes:
         else:
             w.write(0b1111, 4)
             w.write(dod & _U64, 64)
+        prev = i + 1
+    if len(dods) > prev:
+        w.write_zeros(len(dods) - prev)
     return w.bytes()
 
 
@@ -105,10 +182,18 @@ def decode_timestamps(data: bytes, n: int) -> np.ndarray:
         first -= 1 << 64
     out[0] = first
     delta = 0
-    for i in range(1, n):
+    i = 1
+    while i < n:
+        # dod==0 runs (constant cadence): word-level zero-count + one
+        # vectorized arange fill instead of per-point bit reads
+        z = r.count_zero_bits(n - i)
+        if z:
+            out[i : i + z] = out[i - 1] + delta * np.arange(1, z + 1, dtype=np.int64)
+            i += z
+            if i >= n:
+                break
+        r.bitpos += 1  # the '1' bit count_zero_bits stopped at
         if r.read(1) == 0:
-            dod = 0
-        elif r.read(1) == 0:
             dod = r.read(7) - 63
         elif r.read(1) == 0:
             dod = r.read(9) - 255
@@ -120,6 +205,7 @@ def decode_timestamps(data: bytes, n: int) -> np.ndarray:
                 dod -= 1 << 64
         delta += dod
         out[i] = out[i - 1] + delta
+        i += 1
     return out
 
 
@@ -130,28 +216,31 @@ def encode_values(vals: np.ndarray) -> bytes:
     if len(bits) == 0:
         return b""
     w.write(int(bits[0]), 64)
-    prev = int(bits[0])
+    # vectorized consecutive xors; repeated values -> xor 0 runs batched
+    xors = np.bitwise_xor(bits[1:], bits[:-1])
+    nz = np.flatnonzero(xors)
     lead, trail = 65, 65  # invalid -> first non-zero xor writes a header
-    for cur in bits[1:].tolist():
-        cur = int(cur)
-        xor = prev ^ cur
-        if xor == 0:
-            w.write(0, 1)
+    prev_i = 0
+    for i in nz.tolist():
+        if i > prev_i:
+            w.write_zeros(i - prev_i)
+        xor = int(xors[i])
+        xl = 64 - xor.bit_length()  # leading zeros
+        xt = (xor & -xor).bit_length() - 1  # trailing zeros
+        xl = min(xl, 31)
+        if lead <= 64 and xl >= lead and xt >= trail:
+            w.write(0b10, 2)
+            w.write(xor >> trail, 64 - lead - trail)
         else:
-            xl = 64 - xor.bit_length()  # leading zeros
-            xt = (xor & -xor).bit_length() - 1  # trailing zeros
-            xl = min(xl, 31)
-            if lead <= 64 and xl >= lead and xt >= trail:
-                w.write(0b10, 2)
-                w.write(xor >> trail, 64 - lead - trail)
-            else:
-                lead, trail = xl, xt
-                nsig = 64 - xl - xt
-                w.write(0b11, 2)
-                w.write(xl, 5)
-                w.write(nsig & 0x3F, 6)  # 64 encoded as 0 (nsig in 1..64)
-                w.write(xor >> trail, nsig)
-        prev = cur
+            lead, trail = xl, xt
+            nsig = 64 - xl - xt
+            w.write(0b11, 2)
+            w.write(xl, 5)
+            w.write(nsig & 0x3F, 6)  # 64 encoded as 0 (nsig in 1..64)
+            w.write(xor >> trail, nsig)
+        prev_i = i + 1
+    if len(xors) > prev_i:
+        w.write_zeros(len(xors) - prev_i)
     return w.bytes()
 
 
@@ -164,10 +253,15 @@ def decode_values(data: bytes, n: int) -> np.ndarray:
     prev = r.read(64)
     out[0] = prev
     lead = trail = 0
-    for i in range(1, n):
-        if r.read(1) == 0:
-            out[i] = prev
-            continue
+    i = 1
+    while i < n:
+        z = r.count_zero_bits(n - i)  # xor==0 runs: repeated values
+        if z:
+            out[i : i + z] = prev
+            i += z
+            if i >= n:
+                break
+        r.bitpos += 1  # the '1' bit count_zero_bits stopped at
         if r.read(1) == 1:
             lead = r.read(5)
             nsig = r.read(6)
@@ -179,6 +273,7 @@ def decode_values(data: bytes, n: int) -> np.ndarray:
         xor = r.read(nsig) << trail
         prev ^= xor
         out[i] = prev
+        i += 1
     return out.view(np.float64)
 
 

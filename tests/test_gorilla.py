@@ -46,6 +46,44 @@ def test_vals_basic():
     roundtrip_vals([0.0, -0.0, np.nan, np.inf, -np.inf, 1e-308, 1e308])
 
 
+def test_golden_stream_format_stable():
+    """Byte-exact golden streams: the on-disk format must not drift when
+    the encoder implementation changes (these bytes were produced by the
+    original per-element encoder; the chunked/zero-run encoder must
+    emit the identical stream)."""
+    ts = np.array(
+        [1_700_000_000_000_000 + i * 60_000_000 + (i % 7) * 13 for i in range(50)],
+        dtype=np.int64,
+    )
+    vals = np.array(
+        [1.0, 1.0, 2.5, 2.5, -3.125, 0.0, float("nan"), 1e300, 1.0000001] * 5 + [42.0] * 5,
+        dtype=np.float64,
+    )
+    assert encode_timestamps(ts).hex() == (
+        "00060a24181e4000f000000000393870d06526ad032935681949ab40ca4d5a06"
+        "526ad0329356819480"
+    )
+    assert encode_values(vals).hex() == (
+        "3ff00000000000006137ffac084006d80133ffc67df9fc8791000eb3e1fe0e3f"
+        "21e496bc383c000000006b5fca6d7ff400000000000060420036c0099ffe33ef"
+        "cfe43c8800759f0ff071f90f24b5e1c1e0000000035afe536bffa000000000000"
+        "3021001b6004cfff19f7e7f21e44003acf87f838fc87925af0e0f000000001ad"
+        "7f29b5ffd0000000000001810800db00267ff8cfbf3f90f22001d67c3fc1c7e4"
+        "3c92d78707800000000d6bf94daffe8000000000000c084006d80133ffc67df"
+        "9fc8791000eb3e1fe0e3f21e496bc383dfed400006b5fca6c0"
+    )
+
+
+def test_long_zero_runs_roundtrip():
+    """Zero-run batching (write_zeros) must round-trip across byte and
+    flush boundaries: constant cadence and constant values at lengths
+    around the 4096-bit flush threshold."""
+    for n in (1, 7, 8, 9, 4095, 4096, 4097, 20_000):
+        ts = np.arange(n, dtype=np.int64) * 60_000_000
+        roundtrip_ts(ts)
+        roundtrip_vals(np.full(n, 17.25))
+
+
 def test_compression_ratio_on_regular_series():
     """Regular 1-minute cadence must compress far below 8 bytes/point."""
     ts = np.arange(10_000, dtype=np.int64) * 60_000_000 + 1_700_000_000_000_000

@@ -399,6 +399,16 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(q, emb, k=5)
 
 
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup family, embedding
+    modality): brute verification path over a bounded block; the LSH
+    candidate path is recall-tested in tests/."""
+    from gmql_spark.operators.similarity import cosine_near_pairs
+
+    emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    return cosine_near_pairs(emb, threshold=0.35, method="brute")
+
+
 def q_group_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GroupRD analogue (``GroupRD.scala:17-66``): group + aggregate with
     exact decimal sums (TPC-H Q1 shape)."""
@@ -558,6 +568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "language_id": q_language_id,
         "cosine_topk": q_cosine_topk,
+        "embedding_neardup": q_embedding_neardup,
         "group_lineitem": q_group_lineitem,
         "join_dims": q_join_dims,
         "project_extend": q_project_extend,
@@ -1000,6 +1011,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             )
             SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+        """,
+        "embedding_neardup": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE vec_id < 300
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.35
         """,
         "group_lineitem": """
             SELECT l_returnflag, l_linestatus, count(*) AS n,

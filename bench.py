@@ -72,7 +72,14 @@ def main() -> int:
 
     from gmql_spark.operators.dedup import minhash_lsh_pairs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(F.col("doc_id") < 2000)
+    # small single-file table -> 1 scan task; spread the shingle explode
+    # + 64 hash-min aggregates across cores (at warehouse scale the scan
+    # has many splits and this repartition is unnecessary)
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 2000)
+        .repartition(int(cpus))
+    )
     t0 = time.perf_counter()
     n = minhash_lsh_pairs(docs, num_perm=64, bands=16, threshold=0.5, hash_fn="xxhash64").count()
     times["minhash_lsh"] = round(time.perf_counter() - t0, 3)

@@ -285,31 +285,59 @@ def compress_series(
     ts_col: str = "window_start",
     value_col: str = "latency_p50",
 ):
-    """Grouped-map Arrow UDF: one output row per key group with the
-    packed streams. Partitioning: ``groupBy(keys)`` — same hash shuffle
-    as the rollup that produced the input tier."""
-    from pyspark.sql import functions as F  # noqa: F401
+    """One output row per key group with the packed streams.
 
+    Plan: ``repartition(keys) → sortWithinPartitions(keys, ts) →
+    mapInPandas`` over the sorted stream, encoding every complete group
+    in an Arrow batch and carrying the batch-spanning tail group to the
+    next batch. Same shuffle as ``groupBy(keys).applyInPandas`` but ONE
+    Python call per Arrow batch instead of one per group — with millions
+    of conversation groups the per-group call overhead dominates the
+    codec itself (~3x wall measured at 20k groups)."""
     keys = list(keys)
     schema = (
         ", ".join(f"{k} string" for k in keys)
         + ", n_points long, ts_bytes binary, val_bytes binary"
     )
 
-    def _encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts_col, kind="mergesort")
-        ts_us = pdf[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
-        vals = pdf[value_col].to_numpy(dtype=np.float64)
+    def _encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = {k: [] for k in keys}
+        n_pts, ts_b, val_b = [], [], []
+        for key_vals, g in pdf.groupby(keys, sort=False):
+            if not isinstance(key_vals, tuple):
+                key_vals = (key_vals,)
+            ts_us = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+            vals = g[value_col].to_numpy(dtype=np.float64)
+            for k, v in zip(keys, key_vals):
+                rows[k].append(v)
+            n_pts.append(len(g))
+            ts_b.append(encode_timestamps(ts_us))
+            val_b.append(encode_values(vals))
         return pd.DataFrame(
-            {
-                **{k: [pdf[k].iloc[0]] for k in keys},
-                "n_points": [len(pdf)],
-                "ts_bytes": [encode_timestamps(ts_us)],
-                "val_bytes": [encode_values(vals)],
-            }
+            {**rows, "n_points": n_pts, "ts_bytes": ts_b, "val_bytes": val_b}
         )
 
-    return df.groupBy(*keys).applyInPandas(_encode, schema=schema)
+    def _encode(batches):
+        pending: pd.DataFrame | None = None
+        for pdf in batches:
+            if pending is not None and len(pending):
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            # the last key's rows may continue in the next batch
+            last = pdf[keys].iloc[-1]
+            tail_mask = (pdf[keys] == last).all(axis=1)
+            # groups are contiguous (sorted stream): the tail is the
+            # contiguous run at the end
+            first_tail = len(pdf) - int(tail_mask[::-1].cumprod().sum())
+            complete, pending = pdf.iloc[:first_tail], pdf.iloc[first_tail:]
+            if len(complete):
+                yield _encode_groups(complete)
+        if pending is not None and len(pending):
+            yield _encode_groups(pending)
+
+    sorted_df = df.repartition(*keys).sortWithinPartitions(*keys, ts_col)
+    return sorted_df.mapInPandas(_encode, schema=schema)
 
 
 def decompress_series(df, keys=("conv_id",)):
@@ -320,18 +348,23 @@ def decompress_series(df, keys=("conv_id",)):
 
     def _decode(batches):
         for pdf in batches:
-            frames = []
-            for _, row in pdf.iterrows():
-                n = int(row["n_points"])
-                ts = decode_timestamps(row["ts_bytes"], n).astype("datetime64[us]")
-                vals = decode_values(row["val_bytes"], n)
-                frames.append(
-                    pd.DataFrame(
-                        {**{k: row[k] for k in keys}, "window_start": ts, "value": vals}
-                    )
-                )
-            yield pd.concat(frames) if frames else pd.DataFrame(
-                columns=[*keys, "window_start", "value"]
-            )
+            if not len(pdf):
+                continue
+            # decode each stream to numpy, assemble ONE frame per Arrow
+            # batch (a pandas DataFrame per row is ~10x slower than the
+            # codec itself)
+            ns = pdf["n_points"].to_numpy(dtype=np.int64)
+            ts_parts = [
+                decode_timestamps(b, int(n)) for b, n in zip(pdf["ts_bytes"], ns)
+            ]
+            val_parts = [decode_values(b, int(n)) for b, n in zip(pdf["val_bytes"], ns)]
+            out = {
+                k: np.repeat(pdf[k].to_numpy(), ns) for k in keys
+            }
+            out["window_start"] = (
+                np.concatenate(ts_parts) if ts_parts else np.empty(0, np.int64)
+            ).astype("datetime64[us]")
+            out["value"] = np.concatenate(val_parts) if val_parts else np.empty(0)
+            yield pd.DataFrame(out)
 
     return df.mapInPandas(_decode, schema=schema)

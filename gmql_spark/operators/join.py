@@ -43,6 +43,17 @@ def asof_join(
     at-or-after). Ties: right row at the exact same ts matches.
 
     Union-window implementation: no join, one shuffle by key.
+
+    Hot-key bound: the window puts each key's full history in ONE sort
+    partition, so the per-key row count is the parallelism floor — fine
+    for conversations (bounded turn counts), pathological for a key with
+    e.g. 10⁸ rows. Mitigations, in preference order: (a) pre-compute the
+    carried value at ingest (``catalog.write_transcripts(
+    precompute_gaps=True)`` removes this window from the rollup path
+    entirely); (b) range-salt the key by coarse time bucket and stitch
+    bucket boundaries with a per-(key, bucket) edge frame — the pattern
+    ``operators.cover._keyless_neighbors`` implements. The skew test
+    pins the single-hot-key case at 2×10⁵ rows.
     """
     lcols = left.columns
     tagged_l = left.withColumn("_side", F.lit(1))

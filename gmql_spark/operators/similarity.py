@@ -64,6 +64,73 @@ def cosine_topk(
     return out.select("query_id", "neighbor_id", "rank")
 
 
+def cosine_near_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "brute",
+    n_planes: int = 8,
+    n_tables: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (id_a < id_b) with
+    cosine(a, b) >= threshold — the embedding modality of the dedup
+    family (exact/minhash/simhash counterparts in ``operators.dedup``).
+
+    ``method='brute'``: all-pairs self-join — the exact verification
+    primitive; quadratic, for bounded blocks (gate scale / the re-rank
+    stage of a blocked pipeline). ``method='lsh'``: random-hyperplane
+    bucket candidates then exact verify — candidate cost ∝ collisions,
+    recall < 1 tunable by ``n_tables`` (the scale path; recall-tested
+    against brute)."""
+    a = with_norm(
+        df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_av")), "_av", "_an"
+    )
+    b = with_norm(
+        df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_bv")), "_bv", "_bn"
+    )
+    if method == "brute":
+        pairs = a.join(b, a["id_a"] < b["id_b"])
+    elif method == "lsh":
+        import numpy as np
+
+        rng = np.random.Generator(np.random.PCG64(seed))
+        planes = rng.standard_normal((n_tables, n_planes, dim))
+
+        def buckets(frame, vc, nc, idc):
+            sigs = []
+            for t in range(n_tables):
+                bits = None
+                for p in range(n_planes):
+                    w = F.array(*[F.lit(float(x)) for x in planes[t, p]])
+                    bit = (_dot(F.col(vc), w) > 0).cast("long")
+                    term = F.shiftleft(bit, p)
+                    bits = term if bits is None else bits + term
+                sigs.append(bits)
+            return frame.select(
+                idc, vc, nc, F.posexplode(F.array(*sigs)).alias("table", "bucket")
+            )
+
+        ab = buckets(a, "_av", "_an", "id_a")
+        bb = buckets(b, "_bv", "_bn", "id_b")
+        pairs = (
+            ab.join(bb, on=["table", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .drop("table", "bucket")
+            .distinct()
+        )
+    else:
+        raise ValueError("method must be brute|lsh")
+    sim = _dot(F.col("_av"), F.col("_bv")) / (F.col("_an") * F.col("_bn"))
+    return (
+        pairs.withColumn("cosine", sim)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
 def lsh_bucket_topk(
     queries: DataFrame,
     corpus: DataFrame,

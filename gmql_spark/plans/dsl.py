@@ -1,0 +1,487 @@
+"""GSL — a GMQL-shaped script language for the transcript engine.
+
+The reference's PRIMARY entry point is a parsed text language: scripts of
+``VAR = OPERATOR(params) INPUTS;`` statements ending in MATERIALIZE,
+compiled in two phases — parse to a statement list
+(``Compiler/.../Translator.scala:311-362``, grammar ``GmqlParsers.scala``)
+then a symbol-table pass that checks input counts/variables and lowers
+each statement onto the IR DAG (``Translator.scala:364-393``,
+``check_input_number``/``check_input_variables``). This module is that
+surface recast for the time-series engine: same statement shape, same
+two-phase compile, but statements lower to DataFrame compositions of the
+engine's operator functions, so the whole script is ONE Catalyst plan
+per materialized variable (the reference has no optimizer between
+statements; here statement boundaries are fused by Catalyst for free).
+
+Example::
+
+    T = LOAD '/warehouse/transcripts';
+    U = SELECT(role = 'user') T;
+    R = ROLLUP(tier: '1m') U;
+    H = CASCADE(tier: '1h') R;
+    G = GAPFILL(tier: '1h', value: 'turn_count') H;
+    MATERIALIZE G INTO '/out/gapfilled';
+
+Grammar (hand-rolled, mirrors the reference's parser-combinator grammar
+in spirit, not code)::
+
+    script    := statement (';' statement)* ';'?
+    statement := NAME '=' OP '(' params? ')' NAME*      -- operator
+               | NAME '=' LOAD STRING                   -- source
+               | MATERIALIZE NAME (INTO STRING)?        -- sink
+    params    := param (',' param)*
+    param     := KEY ':' value | raw-expression          -- SELECT/PROJECT
+    value     := STRING | NUMBER | IDENT | '[' value* ']'
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Sequence
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class GSLError(ValueError):
+    """Parse/compile error with statement context (the reference raises
+    ``CompilerException`` with position info, ``Translator.scala``)."""
+
+
+# ---------------------------------------------------------------- phase 1
+
+@dataclass
+class Statement:
+    target: str | None
+    op: str
+    params: dict
+    raw_params: str
+    inputs: list[str]
+    into: str | None = None
+    pos: int = 0
+
+
+_STMT_RE = re.compile(
+    r"^\s*(?P<target>[A-Za-z_]\w*)\s*=\s*(?P<op>[A-Za-z_]\w*)\s*"
+    r"\((?P<params>.*)\)\s*(?P<inputs>[\w\s]*)$",
+    re.S,
+)
+_LOAD_RE = re.compile(
+    r"^\s*(?P<target>[A-Za-z_]\w*)\s*=\s*LOAD\s+'(?P<path>[^']+)'\s*$", re.I
+)
+_MAT_RE = re.compile(
+    r"^\s*MATERIALIZE\s+(?P<name>[A-Za-z_]\w*)\s*(?:INTO\s+'(?P<into>[^']+)')?\s*$", re.I
+)
+
+
+def _split_statements(text: str) -> list[tuple[int, str]]:
+    """Split on ';' outside quotes (statement separator, as in GMQL)."""
+    out, buf, depth, q = [], [], 0, None
+    start = 1
+    line = 1
+    for ch in text:
+        if ch == "\n":
+            line += 1
+        if q:
+            buf.append(ch)
+            if ch == q:
+                q = None
+            continue
+        if ch in "'\"":
+            q = ch
+            buf.append(ch)
+        elif ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            buf.append(ch)
+        elif ch == ";" and depth == 0:
+            s = "".join(buf).strip()
+            if s:
+                out.append((start, s))
+            buf, start = [], line
+        else:
+            buf.append(ch)
+    s = "".join(buf).strip()
+    if s:
+        out.append((start, s))
+    return out
+
+
+def _strip_comments(text: str) -> str:
+    return re.sub(r"#[^\n]*", "", text)
+
+
+def _parse_value(tok: str):
+    tok = tok.strip()
+    if tok.startswith("'") and tok.endswith("'"):
+        return tok[1:-1]
+    if tok.startswith("[") and tok.endswith("]"):
+        inner = tok[1:-1].strip()
+        return [_parse_value(t) for t in inner.split(",")] if inner else []
+    try:
+        return int(tok)
+    except ValueError:
+        pass
+    try:
+        return float(tok)
+    except ValueError:
+        pass
+    low = tok.lower()
+    if low in ("true", "false"):
+        return low == "true"
+    return tok  # bare identifier
+
+
+def _parse_params(raw: str) -> dict:
+    """``key: value, key: value`` pairs; anything that is not a pair is
+    left to the operator as the raw expression (SELECT/PROJECT bodies)."""
+    params: dict = {}
+    depth, q, buf, parts = 0, None, [], []
+    for ch in raw:
+        if q:
+            buf.append(ch)
+            if ch == q:
+                q = None
+            continue
+        if ch in "'\"":
+            q = ch
+            buf.append(ch)
+        elif ch in "([":
+            depth += 1
+            buf.append(ch)
+        elif ch in ")]":
+            depth -= 1
+            buf.append(ch)
+        elif ch == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    if buf:
+        parts.append("".join(buf))
+    for part in parts:
+        m = re.match(r"^\s*([A-Za-z_]\w*)\s*:\s*(.+)$", part, re.S)
+        if m:
+            params[m.group(1)] = _parse_value(m.group(2))
+    return params
+
+
+def parse(text: str) -> list[Statement]:
+    """Phase 1: script text -> statement list (≙ ``Translator.phase1``)."""
+    stmts: list[Statement] = []
+    for pos, s in _split_statements(_strip_comments(text)):
+        m = _MAT_RE.match(s)
+        if m:
+            stmts.append(
+                Statement(None, "MATERIALIZE", {}, "", [m.group("name")],
+                          into=m.group("into"), pos=pos)
+            )
+            continue
+        m = _LOAD_RE.match(s)
+        if m:
+            stmts.append(
+                Statement(m.group("target"), "LOAD", {"path": m.group("path")}, "", [], pos=pos)
+            )
+            continue
+        m = _STMT_RE.match(s)
+        if not m:
+            raise GSLError(f"line {pos}: cannot parse statement: {s[:120]!r}")
+        inputs = m.group("inputs").split()
+        stmts.append(
+            Statement(
+                m.group("target"),
+                m.group("op").upper(),
+                _parse_params(m.group("params")),
+                m.group("params").strip(),
+                inputs,
+                pos=pos,
+            )
+        )
+    return stmts
+
+
+# ---------------------------------------------------------------- phase 2
+
+def _op_select(dfs: Sequence[DataFrame], st: Statement) -> DataFrame:
+    expr = st.params.get("where") or st.raw_params
+    if not expr:
+        raise GSLError(f"line {st.pos}: SELECT needs a predicate")
+    return dfs[0].filter(expr)
+
+
+def _op_project(dfs, st):
+    keep = st.params.get("keep")
+    exprs = {
+        k: v for k, v in st.params.items() if k not in ("keep",)
+    }
+    cols = list(keep) if keep else ([] if exprs else dfs[0].columns)
+    out = [F.col(c) for c in cols] + [F.expr(str(v)).alias(k) for k, v in exprs.items()]
+    return dfs[0].select(*out)
+
+
+def _op_extend(dfs, st):
+    keys = st.params.get("by", ["conv_id"])
+    keys = keys if isinstance(keys, list) else [keys]
+    aggs = [
+        F.expr(str(v)).alias(k) for k, v in st.params.items() if k not in ("by",)
+    ]
+    if not aggs:
+        raise GSLError(f"line {st.pos}: EXTEND needs aggregate expressions")
+    return dfs[0].groupBy(*keys).agg(*aggs)
+
+
+def _op_rollup(dfs, st):
+    from gmql_spark.operators.rollup import DEFAULT_ROLES, rollup
+
+    roles = st.params.get("roles", list(DEFAULT_ROLES))
+    return rollup(
+        dfs[0],
+        tier=st.params.get("tier", "1m"),
+        key=st.params.get("key", "conv_id"),
+        ts=st.params.get("ts", "ts"),
+        role_values=roles if roles != "auto" else None,
+        tool_values=st.params.get("tools"),
+    )
+
+
+def _op_cascade(dfs, st):
+    from gmql_spark.operators.rollup import cascade_rollup
+
+    return cascade_rollup(dfs[0], st.params["tier"], key=st.params.get("key", "conv_id"))
+
+
+def _op_gapfill(dfs, st):
+    from gmql_spark.operators.gapfill import gapfill
+
+    return gapfill(
+        dfs[0],
+        tier=st.params.get("tier", "1m"),
+        key=st.params.get("key", "conv_id"),
+        value_col=st.params.get("value", "turn_count"),
+        interp_col=st.params.get("interp"),
+    )
+
+
+def _op_topk(dfs, st):
+    from gmql_spark.operators.order import topg_per_key, topk_per_key
+
+    keys = st.params.get("key", ["conv_id"])
+    keys = keys if isinstance(keys, list) else [keys]
+    order = [F.expr(e) for e in (
+        st.params["by"] if isinstance(st.params.get("by"), list) else [st.params.get("by", "ts")]
+    )]
+    groups = st.params.get("group")
+    if groups:
+        groups = groups if isinstance(groups, list) else [groups]
+        return topg_per_key(dfs[0], keys, groups, order, int(st.params.get("k", 1)))
+    return topk_per_key(dfs[0], keys, order, int(st.params.get("k", 1)))
+
+
+def _op_union(dfs, st):
+    a = dfs[0].withColumn("_provenance", F.lit("left"))
+    b = dfs[1].withColumn("_provenance", F.lit("right"))
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+def _op_difference(dfs, st):
+    from gmql_spark.operators.difference import temporal_difference
+
+    keys = st.params.get("key", ["conv_id"])
+    keys = keys if isinstance(keys, list) else [keys]
+    return temporal_difference(
+        dfs[0], dfs[1], keys=keys,
+        max_distance_s=float(st.params.get("dist", 0.0)),
+        exact=bool(st.params.get("exact", False)),
+    )
+
+
+def _op_asof(dfs, st):
+    from gmql_spark.operators.join import asof_join
+
+    keys = st.params.get("key", ["conv_id"])
+    keys = keys if isinstance(keys, list) else [keys]
+    cols = st.params.get("cols", [])
+    return asof_join(
+        dfs[0], dfs[1], keys=keys, ts=st.params.get("ts", "ts"),
+        right_cols=cols if isinstance(cols, list) else [cols],
+        direction=st.params.get("direction", "backward"),
+        tolerance_s=float(st.params["tolerance"]) if "tolerance" in st.params else None,
+    )
+
+
+def _op_nearest(dfs, st):
+    from gmql_spark.operators.join import nearest_k
+
+    keys = st.params.get("key", ["conv_id"])
+    keys = keys if isinstance(keys, list) else [keys]
+    cols = st.params.get("cols", [])
+    return nearest_k(
+        dfs[0], dfs[1], keys=keys, k=int(st.params.get("k", 1)),
+        max_distance_s=float(st.params.get("dist", 3600.0)),
+        left_id=st.params.get("id", "event_id"),
+        right_cols=cols if isinstance(cols, list) else [cols],
+        direction=st.params.get("direction", "both"),
+    )
+
+
+def _op_join(dfs, st):
+    from gmql_spark.operators.join import interval_join
+
+    keys = st.params.get("key", ["conv_id"])
+    keys = keys if isinstance(keys, list) else [keys]
+    return interval_join(
+        dfs[0], dfs[1], keys=keys,
+        max_distance_s=float(st.params.get("dist", 0.0)),
+        bucket_s=float(st.params.get("bucket", 3600.0)),
+        builder=st.params.get("builder", "both"),
+        distinct=bool(st.params.get("distinct", False)),
+    )
+
+
+def _op_cover(dfs, st):
+    from gmql_spark.operators.cover import accumulation, cover, flat_cover, summits
+
+    variant = st.op.lower() if st.op != "COVER" else st.params.get("variant", "cover")
+    fns = {
+        "cover": cover, "histogram": accumulation, "accumulation": accumulation,
+        "summit": summits, "summits": summits, "flat": flat_cover,
+    }
+    keys = st.params.get("key", [])
+    keys = keys if isinstance(keys, list) else [keys]
+    kw = dict(
+        keys=keys,
+        start_ts=st.params.get("start", "start_ts"),
+        end_ts=st.params.get("end", "end_ts"),
+    )
+    fn = fns[variant]
+    if fn in (cover, flat_cover):
+        kw["min_acc"] = int(st.params.get("min", 1))
+        if "max" in st.params:
+            kw["max_acc"] = int(st.params["max"])
+    return fn(dfs[0], **kw)
+
+
+def _op_dedup(dfs, st):
+    from gmql_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+
+    mode = st.params.get("mode", "exact")
+    idc = st.params.get("id", "doc_id")
+    txt = st.params.get("text", "text")
+    if mode == "exact":
+        return exact_dedup(dfs[0], id_col=idc, text_col=txt)
+    if mode == "minhash":
+        return minhash_lsh_pairs(
+            dfs[0], id_col=idc, text_col=txt,
+            threshold=float(st.params.get("threshold", 0.5)),
+        )
+    raise GSLError(f"line {st.pos}: DEDUP mode must be exact|minhash")
+
+
+def _op_compress(dfs, st):
+    from gmql_spark.compression.gorilla import compress_series
+
+    keys = st.params.get("key", ["conv_id"])
+    keys = keys if isinstance(keys, list) else [keys]
+    return compress_series(
+        dfs[0], keys=keys,
+        ts_col=st.params.get("ts", "window_start"),
+        value_col=st.params.get("value", "turn_count"),
+    )
+
+
+def _op_merge(dfs, st):
+    # MergeRD analogue: collapse all keys into a single global series by
+    # re-keying to a constant (``MergeRD.scala:27-45``)
+    return dfs[0].withColumn(st.params.get("key", "conv_id"), F.lit("_all"))
+
+
+# op -> (fn, n_inputs) ≙ the reference's per-operator arity checks
+# (``Translator.scala`` check_input_number)
+OPS: dict[str, tuple] = {
+    "SELECT": (_op_select, 1),
+    "PROJECT": (_op_project, 1),
+    "EXTEND": (_op_extend, 1),
+    "ROLLUP": (_op_rollup, 1),
+    "CASCADE": (_op_cascade, 1),
+    "GAPFILL": (_op_gapfill, 1),
+    "TOPK": (_op_topk, 1),
+    "UNION": (_op_union, 2),
+    "DIFFERENCE": (_op_difference, 2),
+    "ASOF": (_op_asof, 2),
+    "NEAREST": (_op_nearest, 2),
+    "JOIN": (_op_join, 2),
+    "COVER": (_op_cover, 1),
+    "HISTOGRAM": (_op_cover, 1),
+    "SUMMIT": (_op_cover, 1),
+    "FLAT": (_op_cover, 1),
+    "DEDUP": (_op_dedup, 1),
+    "COMPRESS": (_op_compress, 1),
+    "MERGE": (_op_merge, 1),
+}
+
+
+@dataclass
+class CompiledScript:
+    materialized: dict[str, DataFrame] = field(default_factory=dict)
+    sinks: dict[str, str | None] = field(default_factory=dict)
+    variables: dict[str, DataFrame] = field(default_factory=dict)
+
+
+def compile_script(
+    spark: SparkSession,
+    text: str,
+    tables: dict[str, DataFrame] | None = None,
+) -> CompiledScript:
+    """Phase 2 (≙ ``Translator.phase2``): symbol-table walk, arity and
+    variable checks, lower each statement via the engine's operator
+    functions. ``tables`` pre-binds variables (≙ READ with an in-memory
+    dataset, ``IRReadMEMRD``)."""
+    symbols: dict[str, DataFrame] = dict(tables or {})
+    out = CompiledScript(variables=symbols)
+    for st in parse(text):
+        if st.op == "MATERIALIZE":
+            name = st.inputs[0]
+            if name not in symbols:
+                raise GSLError(f"line {st.pos}: MATERIALIZE of undefined variable {name!r}")
+            out.materialized[name] = symbols[name]
+            out.sinks[name] = st.into
+            continue
+        if st.op == "LOAD":
+            from gmql_spark.sources.catalog import read_transcripts
+
+            symbols[st.target] = read_transcripts(spark, st.params["path"])
+            continue
+        if st.op not in OPS:
+            raise GSLError(f"line {st.pos}: unknown operator {st.op!r}; known: {sorted(OPS)}")
+        fn, arity = OPS[st.op]
+        if len(st.inputs) != arity:
+            raise GSLError(
+                f"line {st.pos}: {st.op} takes {arity} input(s), got {len(st.inputs)}"
+            )
+        missing = [i for i in st.inputs if i not in symbols]
+        if missing:
+            raise GSLError(f"line {st.pos}: undefined variable(s) {missing}")
+        symbols[st.target] = fn([symbols[i] for i in st.inputs], st)
+    if not out.materialized:
+        raise GSLError("script has no MATERIALIZE statement")
+    return out
+
+
+def run_script(
+    spark: SparkSession, text: str, tables: dict[str, DataFrame] | None = None
+) -> dict[str, int]:
+    """Compile and execute: write each materialized variable to its INTO
+    path (parquet) or count it. Returns rows per materialized name."""
+    compiled = compile_script(spark, text, tables=tables)
+    results: dict[str, int] = {}
+    for name, df in compiled.materialized.items():
+        into = compiled.sinks[name]
+        if into:
+            df.write.mode("overwrite").parquet(into)
+            results[name] = spark.read.parquet(into).count()
+        else:
+            results[name] = df.count()
+    return results

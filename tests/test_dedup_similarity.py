@@ -102,6 +102,46 @@ def test_lsh_topk_recall(spark):
     assert recall >= 0.6, f"LSH recall too low: {recall}"
 
 
+def test_cosine_near_pairs_brute_and_lsh(spark):
+    """Brute pairs match the numpy threshold-join exactly; the LSH path
+    recovers most of them (planted near-dups collide with high prob)."""
+    from gmql_spark.operators.similarity import cosine_near_pairs
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    base = rng.standard_normal((40, 16)).astype(np.float64)
+    # plant 10 near-duplicates: vec 40+i = slightly-perturbed vec i
+    planted = base[:10] + 0.05 * rng.standard_normal((10, 16))
+    vecs = np.vstack([base, planted])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in cosine_near_pairs(df, threshold=0.9, method="brute").collect()
+    }
+    v32 = vecs.astype(np.float32).astype(np.float64)  # storage round-trip
+    sims = (v32 @ v32.T) / (
+        np.linalg.norm(v32, axis=1)[:, None] * np.linalg.norm(v32, axis=1)[None, :]
+    )
+    exp = {
+        (a, b)
+        for a in range(len(vecs))
+        for b in range(a + 1, len(vecs))
+        if sims[a, b] >= 0.9
+    }
+    assert got == exp and len(exp) >= 10  # all planted pairs found
+
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in cosine_near_pairs(
+            df, threshold=0.9, method="lsh", n_planes=6, n_tables=12, dim=16
+        ).collect()
+    }
+    assert lsh <= got  # no false positives (exact verify stage)
+    assert len(lsh & got) / len(got) >= 0.7, f"LSH recall {len(lsh & got)/len(got)}"
+
+
 def test_textstats(docs):
     qf = quality_features(docs).toPandas()
     assert (qf.n_tokens > 0).all() and qf.quality_score.between(0, 1).all()

@@ -38,6 +38,31 @@ def test_salted_equals_direct(spark):
     pd.testing.assert_frame_equal(direct, salted[direct.columns], check_dtype=False)
 
 
+def test_asof_join_hot_key(spark):
+    """Documented hot-key bound of asof_join: one key holding 2x10^5
+    rows must still complete and stay correct (its history sorts in one
+    partition — the per-key parallelism floor the docstring states)."""
+    from gmql_spark.operators.join import asof_join
+
+    n = 200_000
+    left = spark.range(n).select(
+        F.lit("hot").alias("k"),
+        F.timestamp_micros((F.col("id") * 1_000_000 + 500_000).cast("long")).alias("ts"),
+        F.col("id").alias("lid"),
+    )
+    right = spark.range(n).select(
+        F.lit("hot").alias("k"),
+        F.timestamp_micros((F.col("id") * 1_000_000).cast("long")).alias("ts"),
+    )
+    out = asof_join(left, right, keys=["k"], ts="ts", right_cols=())
+    # every left row at t+0.5s matches the right row at t exactly
+    bad = out.filter(
+        F.unix_micros("ts") - F.unix_micros("ts_right") != 500_000
+    ).count()
+    assert bad == 0
+    assert out.count() == n
+
+
 def test_retention_expiry(spark, tmp_path):
     raw = datagen.transcripts_spark(spark, n_conv=40)
     wh = tmp_path / "wh"

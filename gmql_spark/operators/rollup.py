@@ -403,7 +403,8 @@ def rollup_all_tiers(
     tool_values: Sequence[str] | None = None,
     cache_gaps: bool = False,
     persist_tiers: bool = False,
-) -> dict[str, DataFrame]:
+    return_gaps: bool = False,
+):
     """The retention cascade raw → 1m → 1h → 1d. Gap column is computed
     once; the raw-with-gaps frame feeds the 1m rollup and each tier's
     exact-percentile pass (``cache_gaps=True`` persists it across those
@@ -431,4 +432,9 @@ def rollup_all_tiers(
             # recomputes 1m — quadratic re-aggregation)
             out[t] = out[t].persist()
         prev = t
+    if return_gaps:
+        # hand the (possibly persisted) gap frame to the caller so it
+        # can unpersist between benchmark reps — otherwise the cache
+        # manager's plan matching lets rep 2 skip the gap window
+        return out, raw_g
     return out

@@ -95,6 +95,13 @@ def _step_compress(df: DataFrame, step: dict) -> DataFrame:
     )
 
 
+def _step_topg(df: DataFrame, step: dict) -> DataFrame:
+    from gmql_spark.operators.order import topg_per_key
+
+    order = [F.expr(e) for e in step["order_by"]]
+    return topg_per_key(df, step["keys"], step["group_cols"], order, step["k"])
+
+
 STEP_OPS = {
     "select": _step_select,
     "project": _step_project,
@@ -102,6 +109,7 @@ STEP_OPS = {
     "cascade": _step_cascade,
     "gapfill": _step_gapfill,
     "topk": _step_topk,
+    "topg": _step_topg,
     "cover": _step_cover,
     "compress": _step_compress,
 }

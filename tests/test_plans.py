@@ -82,6 +82,36 @@ def test_flat_cover_has_no_cartesian_product(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
 
 
+def test_new_joins_plan_shape(spark):
+    """nearest_k and interval_join must plan as shuffled equi-joins with
+    residuals — no CartesianProduct/BroadcastNestedLoopJoin, no object
+    aggregates — and bounded exchange counts."""
+    import datetime as dt
+
+    from gmql_spark.operators.join import interval_join, nearest_k
+
+    T0 = dt.datetime(2026, 1, 1)
+    m = lambda x: T0 + dt.timedelta(minutes=x)  # noqa: E731
+    ev = spark.createDataFrame(
+        [(i, "k", m(i)) for i in range(50)], "event_id long, k string, ts timestamp"
+    )
+    nk = nearest_k(ev, ev.select("k", "ts"), keys=["k"], k=2,
+                   max_distance_s=600.0, left_id="event_id")
+    plan = physical_plan(nk)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert_no_object_agg(nk)
+    assert plan_report(nk)["exchanges"] <= 4, plan_report(nk)
+
+    iv = spark.createDataFrame(
+        [(i, "k", m(i * 5), m(i * 5 + 11)) for i in range(30)],
+        "lid long, k string, start_ts timestamp, end_ts timestamp",
+    )
+    ij = interval_join(iv, iv.withColumnRenamed("lid", "rid"), keys=["k"],
+                       builder="intersection", bucket_s=600.0)
+    plan = physical_plan(ij)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
 def test_semijoin_broadcasts(spark, raw):
     dims = datagen.gen_conversations(30)
     dim_df = spark.createDataFrame(dims)

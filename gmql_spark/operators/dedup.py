@@ -51,13 +51,31 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    max_doc_count: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs (id_a < id_b, jaccard >= t).
 
     shingle equi-join -> common count; sizes joined in; jaccard =
     common / (|A| + |B| - common), computed as double division of exact
-    longs (deterministic)."""
-    sh = word_ngrams(df, id_col, text_col, n).cache()
+    longs (deterministic).
+
+    Scale note: the shingle self-join is quadratic in per-shingle
+    document frequency — a stopword trigram in k docs contributes k²
+    candidate rows. ``max_doc_count`` drops shingles appearing in more
+    than that many documents BEFORE the join (the standard hot-shingle
+    cap). A dropped shingle can only LOWER a pair's computed jaccard
+    (the common count and both sizes shrink by the same shared shingle),
+    so the filter trades recall near the threshold for a join bounded by
+    max_doc_count² per shingle; exact semantics need
+    ``max_doc_count=None`` (the gate's oracle-checked mode). Standalone
+    corpus-scale runs should set it (e.g. 1000); as the verification
+    stage of MinHash-LSH candidates it is unnecessary."""
+    sh = word_ngrams(df, id_col, text_col, n)
+    if max_doc_count is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        hot = freq.filter(F.col("_df") > max_doc_count).select("shingle")
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sh = sh.cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (

@@ -102,6 +102,29 @@ def test_lsh_topk_recall(spark):
     assert recall >= 0.6, f"LSH recall too low: {recall}"
 
 
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """max_doc_count drops corpus-wide shingles before the self-join:
+    docs sharing ONLY a stopword boilerplate phrase stop pairing, while
+    true near-dups keep jaccard >= threshold."""
+    from gmql_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "the quick brown fox jumps over dog"
+    rows = [(i, f"{boiler} unique{i} alpha{i} beta{i} gamma{i}") for i in range(20)]
+    rows += [(100, f"{boiler} same same same same same"),
+             (101, f"{boiler} same same same same same")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = ngram_jaccard_pairs(docs, threshold=0.3)
+    capped = ngram_jaccard_pairs(docs, threshold=0.3, max_doc_count=5)
+    # the planted identical pair survives the cap (its non-boiler
+    # shingles are unique to the pair)
+    assert (100, 101) in {(r.id_a, r.id_b) for r in capped.collect()}
+    # boilerplate-only pairs exist uncapped but not capped
+    un = {(r.id_a, r.id_b) for r in uncapped.collect()}
+    cp = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert len(cp) < len(un)
+
+
 def test_cosine_near_pairs_brute_and_lsh(spark):
     """Brute pairs match the numpy threshold-join exactly; the LSH path
     recovers most of them (planted near-dups collide with high prob)."""

@@ -1,0 +1,87 @@
+"""Physical-plan audit of every gate query: writes BENCH/plans.json.
+
+For each ``queries()`` entry, record the scale-relevant plan features
+(`gmql_spark.plans.inspect.plan_report`) plus red-flag operators
+(CartesianProduct / BroadcastNestedLoopJoin / object aggregates outside
+the sanctioned tiny-frame assembly). This is the ".explain before it
+ships" discipline as a per-round artifact: a regression that re-plans a
+bucketed join as a nested loop or an aggregate as an object hash shows
+up as a diff in BENCH/plans.json.
+
+Usage: python tools/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Intentional broadcast-nested-loop plans: brute-force similarity
+# baselines where one side is a small broadcast block BY CONSTRUCTION
+# and the scale path is the LSH variant. Sanctioned here so the audit
+# flags only unintended nested loops.
+SANCTIONED_BNLJ = {
+    "cosine_topk": "broadcast query set x corpus is the intended "
+    "brute-force baseline; lsh_bucket_topk is the scale path",
+    "embedding_neardup": "brute verification over a bounded id block; "
+    "cosine_near_pairs(method='lsh') is the scale path",
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    import __spark_entry__ as entrymod
+    from gmql_spark.plans.inspect import physical_plan, plan_report
+    from gmql_spark.session import get_spark
+
+    spark = get_spark(8, app_name="plan-audit", shuffle_partitions=16)
+    audit: dict[str, dict] = {}
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, sf_dir)
+        rep = plan_report(df)
+        plan = physical_plan(df)
+        rep["cartesian"] = "CartesianProduct" in plan
+        rep["bnlj"] = "BroadcastNestedLoopJoin" in plan
+        # object aggregates are sanctioned ONLY for tiny-frame map
+        # assembly (map_from_entries over pre-counted rows)
+        bad_obj = [
+            line.strip()[:160]
+            for line in plan.splitlines()
+            if "ObjectHashAggregate" in line
+            and "map_from_entries" not in line
+            and "_cat" not in line
+            and "_n" not in line
+        ]
+        rep["unsanctioned_object_agg"] = bad_obj
+        audit[name] = rep
+        flag = " !!" if (rep["cartesian"] or rep["bnlj"] or bad_obj) else ""
+        print(f"{name}: {rep}{flag}", file=sys.stderr)
+
+    bad = {
+        n: r
+        for n, r in audit.items()
+        if r["cartesian"]
+        or (r["bnlj"] and n not in SANCTIONED_BNLJ)
+        or r["unsanctioned_object_agg"]
+    }
+    out = {
+        "sf_dir": sf_dir,
+        "queries": audit,
+        "red_flags": sorted(bad),
+        "sanctioned_bnlj": SANCTIONED_BNLJ,
+    }
+    os.makedirs(f"{REPO}/BENCH", exist_ok=True)
+    with open(f"{REPO}/BENCH/plans.json", "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps({"queries": len(audit), "red_flags": sorted(bad)}))
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

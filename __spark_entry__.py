@@ -527,6 +527,20 @@ def q_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idle-gap sessionization per user (COVER island merge applied to
+    point events; batch twin of the stateful streaming sessionizer)."""
+    from gmql_spark.operators.session import sessionize
+
+    ev = _read(spark, sf_dir, "events")
+    return sessionize(
+        ev.select("user_id", "ts", "event_id"),
+        key="user_id",
+        gap_timeout_s=1800.0,
+        order=["event_id"],
+    )
+
+
 def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset profile (GMQL-Profiler analogue, ``Profiler.scala:66-68``)."""
     from gmql_spark.operators.profile import profile_per_key
@@ -576,6 +590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flat_cover": q_flat_cover,
         "meta_accessor": q_meta_accessor,
         "sliding_rollup": q_sliding_rollup,
+        "sessions": q_sessions,
         "profile": q_profile,
     }
 
@@ -1111,6 +1126,26 @@ def oracle_sql() -> dict[str, str]:
         "profile": """
             SELECT user_id, count(*) AS n_rows, min(ts) AS min_ts, max(ts) AS max_ts
             FROM events GROUP BY 1
+        """,
+        "sessions": """
+            WITH g AS (
+                SELECT user_id, ts, event_id,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER
+                           (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+                FROM events
+            ), s AS (
+                SELECT user_id, ts,
+                       sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS session_idx
+                FROM g
+            )
+            SELECT user_id, session_idx,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_turns
+            FROM s GROUP BY 1, 2
         """,
         "meta_accessor": """
             WITH thr AS (

@@ -14,6 +14,63 @@ from gmql_spark.operators.rollup import rollup
 from gmql_spark.streaming.rollup_stream import stream_rollup
 
 
+def test_stateful_sessionizer_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionizer == batch sessionize for every
+    CLOSED session: a session closes when a newer same-key event breaks
+    the gap OR the event-time timeout fires (the final watermark advance
+    closes everything ending > timeout before the global max ts). Only
+    sessions still extendable at stream end may remain in state."""
+    from gmql_spark.operators.session import sessionize
+    from gmql_spark.streaming.session_stream import stream_sessionize
+
+    raw = datagen.transcripts_spark(spark, n_conv=30).select("conv_id", "ts")
+    src = str(tmp_path / "sess_src")
+    raw.write.parquet(src)
+
+    stream = spark.readStream.schema(raw.schema).parquet(src)
+    out = stream_sessionize(stream, gap_timeout_s=120.0, watermark="0 seconds")
+    q = (
+        out.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .format("memory")
+        .queryName("sessions_stream")
+        .start()
+    )
+    q.awaitTermination(180)
+    got = (
+        spark.sql("select * from sessions_stream")
+        .toPandas()
+        .sort_values(["conv_id", "session_start"])
+        .reset_index(drop=True)
+    )
+
+    batch = sessionize(raw, gap_timeout_s=120.0).toPandas()
+    assert len(got) > 0, "no closed sessions emitted"
+
+    def rows(df):
+        return {
+            (r.conv_id, pd.Timestamp(r.session_start), pd.Timestamp(r.session_end),
+             int(r.n_turns))
+            for r in df.itertuples()
+        }
+
+    got_rows, batch_rows = rows(got), rows(batch)
+    # every emitted session is a genuine batch session (same bounds+count)
+    assert got_rows <= batch_rows, got_rows - batch_rows
+    # every session that event-time CLOSED (end + timeout safely behind
+    # the final watermark = global max ts) must have been emitted; only
+    # still-extendable tails may be held in state
+    max_ts = pd.Timestamp(max(r[2] for r in batch_rows))
+    margin = pd.Timedelta(seconds=1)
+    must_emit = {r for r in batch_rows
+                 if r[2] + pd.Timedelta(seconds=120) + margin < max_ts}
+    may_hold = {r for r in batch_rows
+                if r[2] + pd.Timedelta(seconds=120) - margin > max_ts}
+    assert must_emit <= got_rows, must_emit - got_rows
+    assert not (got_rows & may_hold), got_rows & may_hold
+
+
 def test_stream_rollup_matches_batch(spark, tmp_path):
     raw = datagen.transcripts_spark(spark, n_conv=40)
     src = str(tmp_path / "src")

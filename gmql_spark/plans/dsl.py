@@ -392,6 +392,19 @@ def _op_compress(dfs, st):
     )
 
 
+def _op_sessionize(dfs, st):
+    from gmql_spark.operators.session import sessionize
+
+    order = st.params.get("order", [])
+    return sessionize(
+        dfs[0],
+        key=st.params.get("key", "conv_id"),
+        ts=st.params.get("ts", "ts"),
+        gap_timeout_s=float(st.params.get("gap", 1800.0)),
+        order=order if isinstance(order, list) else [order],
+    )
+
+
 def _op_merge(dfs, st):
     # MergeRD analogue: collapse all keys into a single global series by
     # re-keying to a constant (``MergeRD.scala:27-45``)
@@ -420,6 +433,7 @@ OPS: dict[str, tuple] = {
     "DEDUP": (_op_dedup, 1),
     "COMPRESS": (_op_compress, 1),
     "MERGE": (_op_merge, 1),
+    "SESSIONIZE": (_op_sessionize, 1),
 }
 
 

@@ -170,6 +170,39 @@ def q_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "event_id", "value", "order_pos")
 
 
+def q_top_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TopP (OrderRD top-percent variant, ``OrderRD.scala:23-168``):
+    top 5% of events per user by value."""
+    from gmql_spark.operators.order import top_percent_per_key
+
+    ev = _read(spark, sf_dir, "events")
+    out = top_percent_per_key(
+        ev,
+        keys=["user_id"],
+        order_by=[F.col("value").desc(), F.col("event_id").asc()],
+        pct=0.05,
+    )
+    return out.select("user_id", "event_id", "value", "order_pct")
+
+
+def q_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill with LINEAR INTERPOLATION (north-rule fill mode): dense
+    hourly grid per user; the hourly max-value series interpolated
+    across gaps via fwd/bwd ignoreNulls windows + arithmetic."""
+    from gmql_spark.operators.gapfill import gapfill
+    from gmql_spark.operators.window_agg import window_rollup
+
+    ev = _read(spark, sf_dir, "events")
+    h = window_rollup(
+        ev,
+        "1 hour",
+        aggs=[F.count(F.lit(1)).alias("n"), F.max("value").alias("val_max")],
+        keys=["user_id"],
+    )
+    out = gapfill(h, tier="1h", key="user_id", value_col="n", interp_col="val_max")
+    return out.select("user_id", "window_start", "n", "is_gap", "n_locf", "latency_interp")
+
+
 # ------------------------------------------------------ joins / set ops
 
 def q_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -564,6 +597,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_hourly": q_gapfill_hourly,
         "select_project": q_select_project,
         "topk_per_user": q_topk_per_user,
+        "top_percent": q_top_percent,
+        "gapfill_interp": q_gapfill_interp,
         "semijoin": q_semijoin,
         "difference": q_difference,
         "asof_join": q_asof_join,
@@ -803,6 +838,61 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY value DESC, event_id ASC) AS order_pos
                 FROM events
             ) WHERE order_pos <= 3
+        """,
+        "top_percent": """
+            SELECT user_id, event_id, value, order_pct FROM (
+                SELECT user_id, event_id, value,
+                       percent_rank() OVER (PARTITION BY user_id
+                                            ORDER BY value DESC, event_id ASC)
+                           AS order_pct
+                FROM events
+            ) WHERE order_pct <= 0.05
+        """,
+        "gapfill_interp": """
+            WITH b AS (
+                SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS h,
+                       count(*) AS n, max(value) AS val_max
+                FROM events GROUP BY 1, 2
+            ), span AS (
+                SELECT user_id, min(h) AS h0, max(h) AS h1 FROM b GROUP BY 1
+            ), grid AS (
+                SELECT user_id,
+                       unnest(generate_series(h0, h1, INTERVAL '1 hour'))
+                           AS window_start
+                FROM span
+            ), j AS (
+                SELECT g.user_id, g.window_start, b.n, b.val_max
+                FROM grid g LEFT JOIN b
+                  ON b.user_id = g.user_id AND b.h = g.window_start
+            ), f AS (
+                SELECT user_id, window_start,
+                       CAST(coalesce(n, 0) AS BIGINT) AS n,
+                       (n IS NULL) AS is_gap,
+                       CAST(last_value(n IGNORE NULLS)
+                            OVER wprev AS BIGINT) AS n_locf,
+                       val_max,
+                       last_value(val_max IGNORE NULLS) OVER wprev AS pv,
+                       last_value(CASE WHEN val_max IS NOT NULL
+                                       THEN CAST(epoch(window_start) AS BIGINT) END
+                                  IGNORE NULLS) OVER wprev AS pt,
+                       first_value(val_max IGNORE NULLS) OVER wnext AS nv,
+                       first_value(CASE WHEN val_max IS NOT NULL
+                                        THEN CAST(epoch(window_start) AS BIGINT) END
+                                   IGNORE NULLS) OVER wnext AS nt,
+                       CAST(epoch(window_start) AS BIGINT) AS wt
+                FROM j
+                WINDOW wprev AS (PARTITION BY user_id ORDER BY window_start
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                       wnext AS (PARTITION BY user_id ORDER BY window_start
+                                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+            )
+            SELECT user_id, window_start, n, is_gap, n_locf,
+                   CASE WHEN val_max IS NOT NULL THEN val_max
+                        WHEN pv IS NOT NULL AND nv IS NOT NULL
+                        THEN pv + (nv - pv) *
+                             (CAST(wt - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+                        ELSE NULL END AS latency_interp
+            FROM f
         """,
         "semijoin": """
             SELECT event_id, user_id, event_type FROM events

@@ -442,6 +442,39 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_pairs(emb, threshold=0.35, method="brute")
 
 
+def q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling plumbing (operators.multimodal): one row
+    per sampled frame timestamp, pure Catalyst explode — documents stand
+    in as media rows with a derived duration."""
+    from gmql_spark.operators.multimodal import sample_frames
+
+    docs = _read(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.length("text") * 10).cast("int").alias("duration_ms"),
+    )
+    return sample_frames(media, every_ms=500)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column feature extraction through the Arrow
+    mapInPandas path (deterministic stand-in decoder — real media libs
+    absent here, so NO SQL oracle: the driver records the rows-only
+    check, which is the honest claim for this operator)."""
+    from gmql_spark.operators.multimodal import extract_features
+
+    docs = _read(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("payload")
+    )
+    out = extract_features(media, dim=8)
+    return out.select(
+        "media_id",
+        F.size("feature").alias("n_dims"),
+        F.aggregate("feature", F.lit(0.0), lambda a, x: a + x * x).alias("sq_norm"),
+    )
+
+
 def q_group_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GroupRD analogue (``GroupRD.scala:17-66``): group + aggregate with
     exact decimal sums (TPC-H Q1 shape)."""
@@ -618,6 +651,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "cosine_topk": q_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
+        "frame_samples": q_frame_samples,
+        "multimodal_features": q_multimodal_features,
         "group_lineitem": q_group_lineitem,
         "join_dims": q_join_dims,
         "project_extend": q_project_extend,
@@ -1116,6 +1151,12 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             )
             SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+        """,
+        "frame_samples": """
+            SELECT doc_id AS media_id,
+                   unnest(generate_series(
+                       0, greatest(length(text) * 10 - 1, 0), 500)) AS frame_ms
+            FROM documents
         """,
         "embedding_neardup": """
             WITH e AS (

@@ -125,6 +125,39 @@ def _keyless_neighbors(
     return out
 
 
+def _require_samples(param, n_samples: int | None) -> int:
+    if "ALL" in str(param).upper() and n_samples is None:
+        raise ValueError(f"CoverParam {param!r} needs n_samples")
+    return n_samples if n_samples is not None else 0
+
+
+def resolve_cover_param(param, n_samples: int) -> int | None:
+    """GMQL CoverParam resolution (``CoverParam.scala:5-63``,
+    ``GenometricCover.scala:57-94``): min/max accumulation bounds may be
+    given as ``'ALL'`` (= the number of contributing samples/sources),
+    ``'ANY'`` (= 1 for min, unbounded for max), ``'ALL+k'``/``'ALL-k'``/
+    ``'ALL/k'`` arithmetic, or a plain int. Returns an int bound, or
+    None for "unbounded" (max side of ANY)."""
+    if param is None or isinstance(param, int):
+        return param
+    p = str(param).strip().upper()
+    if p == "ANY":
+        return None
+    if p.startswith("ALL"):
+        rest = p[3:].replace(" ", "")
+        if not rest:
+            return n_samples
+        op, val = rest[0], int(rest[1:])
+        if op == "+":
+            return n_samples + val
+        if op == "-":
+            return max(n_samples - val, 0)
+        if op == "/":
+            return max(n_samples // val, 1)
+        raise ValueError(f"bad CoverParam arithmetic: {param!r}")
+    return int(p)
+
+
 # ------------------------------------------------------------ accumulation
 
 def accumulation(
@@ -205,17 +238,26 @@ def _islands(
 
 def cover(
     df: DataFrame,
-    min_acc: int = 1,
-    max_acc: int | None = None,
+    min_acc: int | str = 1,
+    max_acc: int | str | None = None,
     keys: Sequence[str] = (),
     start_ts: str = "start_ts",
     end_ts: str = "end_ts",
     sweep_bucket_s: float = SWEEP_BUCKET_S,
+    n_samples: int | None = None,
 ) -> DataFrame:
     """Maximal intervals where min_acc <= accumulation <= max_acc, with
     acc_max = the max accumulation inside the island (COVER semantics,
     ``GenometricCover.scala:172-218``). Island merge = sessionization:
-    a cumulative flag over "previous segment not in range"."""
+    a cumulative flag over "previous segment not in range".
+
+    ``min_acc``/``max_acc`` accept GMQL CoverParam strings ('ALL',
+    'ANY', 'ALL-1', 'ALL/2', ...) resolved against ``n_samples`` (the
+    contributing source count — required for the 'ALL' forms)."""
+    if isinstance(min_acc, str):
+        min_acc = resolve_cover_param(min_acc, _require_samples(min_acc, n_samples)) or 1
+    if isinstance(max_acc, str):
+        max_acc = resolve_cover_param(max_acc, _require_samples(max_acc, n_samples))
     acc = accumulation(df, keys=keys, start_ts=start_ts, end_ts=end_ts,
                        sweep_bucket_s=sweep_bucket_s)
     in_range = F.col("acc") >= min_acc
@@ -235,12 +277,13 @@ def cover(
 
 def flat_cover(
     df: DataFrame,
-    min_acc: int = 1,
-    max_acc: int | None = None,
+    min_acc: int | str = 1,
+    max_acc: int | str | None = None,
     keys: Sequence[str] = (),
     start_ts: str = "start_ts",
     end_ts: str = "end_ts",
     bucket_s: float = 3600.0,
+    n_samples: int | None = None,
 ) -> DataFrame:
     """FLAT variant (``GMAP4.scala:83-84``): like :func:`cover` but each
     island is widened to the full footprint of the intervals that touch
@@ -252,7 +295,8 @@ def flat_cover(
     (island, interval) matches across shared buckets are harmless under
     the min/max footprint aggregate, so no ownership dedup is needed.
     """
-    islands = cover(df, min_acc, max_acc, keys=keys, start_ts=start_ts, end_ts=end_ts)
+    islands = cover(df, min_acc, max_acc, keys=keys, start_ts=start_ts, end_ts=end_ts,
+                    n_samples=n_samples)
     iv = df.select(*keys, F.col(start_ts).alias("_ivs"), F.col(end_ts).alias("_ive"))
     bucket_us = max(int(bucket_s * 1e6), 1)
 

@@ -358,9 +358,13 @@ def _op_cover(dfs, st):
     )
     fn = fns[variant]
     if fn in (cover, flat_cover):
-        kw["min_acc"] = int(st.params.get("min", 1))
+        mn = st.params.get("min", 1)
+        kw["min_acc"] = mn if isinstance(mn, str) else int(mn)
         if "max" in st.params:
-            kw["max_acc"] = int(st.params["max"])
+            mx = st.params["max"]
+            kw["max_acc"] = mx if isinstance(mx, str) else int(mx)
+        if "samples" in st.params:
+            kw["n_samples"] = int(st.params["samples"])
     return fn(dfs[0], **kw)
 
 

@@ -1,0 +1,101 @@
+"""Incremental continuous aggregates: K-batch append + per-date refresh
+must equal the one-shot rollup bit-for-bit at every tier."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gmql_spark import datagen
+from gmql_spark.incremental import append_transcripts, read_conv_state, refresh_tiers
+from gmql_spark.operators.rollup import PCT_NAMES, rollup_all_tiers
+from tests.conftest import assert_pdf_equal
+
+FLOATS = (*PCT_NAMES, "latency_sum_us")
+
+
+@pytest.fixture(scope="module")
+def split_data(spark):
+    """Full dataset + a 2-batch per-conversation-ordered split: batch 1 =
+    each conv's turns in the first half of the span, batch 2 = the rest
+    (so convs straddle the split and gap continuity is exercised)."""
+    raw = datagen.transcripts_spark(spark, n_conv=50)
+    lo, hi = raw.agg(F.min("ts"), F.max("ts")).collect()[0]
+    cut = lo + (hi - lo) / 2
+    b1 = raw.filter(F.col("ts") <= F.lit(cut))
+    b2 = raw.filter(F.col("ts") > F.lit(cut))
+    assert b1.count() > 0 and b2.count() > 0
+    return raw, b1, b2
+
+
+def _read_tier(spark, out_dir, tier):
+    return (
+        spark.read.parquet(f"{out_dir}/rollup_{tier}")
+        .drop("window_date")
+        .toPandas()
+        .sort_values(["conv_id", "window_start"])
+        .reset_index(drop=True)
+    )
+
+
+def test_incremental_equals_oneshot(spark, tmp_path, split_data):
+    raw, b1, b2 = split_data
+    fact = str(tmp_path / "fact")
+    out = str(tmp_path / "tiers")
+
+    d1 = append_transcripts(spark, b1, fact, n_buckets=4)
+    refresh_tiers(spark, fact, out, dates=d1)
+    d2 = append_transcripts(spark, b2, fact, n_buckets=4)
+    refresh_tiers(spark, fact, out, dates=d2)
+
+    # the refresh's raw read partition-prunes to the affected dates
+    pruned = spark.read.parquet(fact).filter(
+        F.col("event_date").isin([str(d) for d in d2])
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_date" in plan
+
+    expected = rollup_all_tiers(raw)
+    for tier in ("1m", "1h", "1d"):
+        got = _read_tier(spark, out, tier)
+        exp = (
+            expected[tier]
+            .toPandas()
+            .sort_values(["conv_id", "window_start"])
+            .reset_index(drop=True)
+        )
+        assert_pdf_equal(got, exp[got.columns], ["conv_id", "window_start"],
+                         float_cols=FLOATS)
+
+
+def test_conv_state_and_cross_batch_gap(spark, tmp_path, split_data):
+    """The state table carries each conv's last_ts; the first batch-2
+    turn of a straddling conv gets the exact cross-batch gap."""
+    raw, b1, b2 = split_data
+    fact = str(tmp_path / "fact2")
+    append_transcripts(spark, b1, fact, n_buckets=2)
+    state = read_conv_state(spark, fact)
+    exp_last = b1.groupBy("conv_id").agg(F.max(F.unix_micros("ts")).alias("last_us"))
+    diff = state.join(exp_last.withColumnRenamed("last_us", "e"), "conv_id").filter(
+        "last_us != e"
+    )
+    assert diff.count() == 0
+
+    append_transcripts(spark, b2, fact, n_buckets=2)
+    stored = spark.read.parquet(fact).select("conv_id", "turn_idx", "gap_us")
+    from gmql_spark.operators.rollup import with_gap_seconds
+
+    full = with_gap_seconds(raw.select("conv_id", "turn_idx", "ts"), order="turn_idx")
+    j = stored.join(
+        full.select("conv_id", "turn_idx", F.col("gap_us").alias("exp_gap")),
+        on=["conv_id", "turn_idx"],
+    )
+    bad = j.filter(
+        ~(F.col("gap_us").eqNullSafe(F.col("exp_gap")))
+    ).count()
+    assert bad == 0
+
+    # refusal path: refresh over dates needs the fact table to exist
+    with pytest.raises(Exception):
+        refresh_tiers(spark, str(tmp_path / "nope"), str(tmp_path / "o"), dates=["2026-01-01"])

@@ -837,7 +837,7 @@ def oracle_sql() -> dict[str, str]:
                    {_pct_sql('50')} AS latency_p50,
                    {_pct_sql('95')} AS latency_p95,
                    {_pct_sql('99')} AS latency_p99,
-                   sum(gap_us) AS latency_sum_us
+                   CAST(sum(gap_us) AS BIGINT) AS latency_sum_us
             FROM r GROUP BY user_id
         """,
         "gapfill_hourly": """
@@ -1266,11 +1266,11 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             ), s AS (
                 SELECT user_id, ts,
-                       sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+                       CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
                                 THEN 1 ELSE 0 END)
                            OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                           AS session_idx
+                           AS BIGINT) AS session_idx
                 FROM g
             )
             SELECT user_id, session_idx,

@@ -11,10 +11,17 @@ the tiers incrementally and EXACTLY:
    table with the ingest-time ``gap_us`` column kept correct across
    batches: each conversation's previous last timestamp is read from a
    compact per-conversation state table (one row per conv — ≪ raw,
-   bucketed like the fact table), so the first turn of a conv in the new
-   batch gets the same gap a full-data window would compute. Requires
+   partitioned by the same ``conv_bucket = pmod(xxhash64(conv_id), n)``
+   as the fact table), so the first turn of a conv in the new batch gets
+   the same gap a full-data window would compute. Requires
    per-conversation time-ordered appends (the natural transcript ingest
    order); out-of-order appends must go through a batch rebuild.
+
+   Scale notes: the state table is O(total conversations ever seen) —
+   at warehouse scale far too big to broadcast, so the state join is a
+   plain equi-join (AQE picks broadcast only while the state actually
+   fits) and the state read is partition-pruned to the conv_buckets the
+   batch touches.
 
 2. ``refresh_tiers`` recomputes ONLY the tier rows of the window-dates
    the new batch touched: tier tables are partitioned by
@@ -24,13 +31,22 @@ the tiers incrementally and EXACTLY:
    refresh reads the pruned raw dates (PartitionFilters) and
    dynamic-partition-overwrites exactly those tier dates.
 
+Crash safety: state versions are immutable directories
+(``_conv_state/v_000001``, ...) selected by a tiny ``CURRENT`` pointer
+file that is swapped with an atomic ``os.replace``; an ``INTENT`` marker
+brackets the non-atomic fact append + pointer swap, so a crash in the
+middle is detected loudly on the next append (stale state can never be
+used silently) instead of producing wrong cross-batch gaps.
+
 Exactness contract (tested): append in K batches + refresh after each
 == one-shot rollup of the concatenation, bit-for-bit, per tier.
 """
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -42,15 +58,63 @@ from gmql_spark.sources.catalog import N_BUCKETS_DEFAULT, write_transcripts
 STATE_DIR = "_conv_state"
 
 
-def _state_path(fact_path: str) -> str:
+def _state_root(fact_path: str) -> str:
+    # leading "_" => invisible to Spark's parquet reader of fact_path
     return f"{fact_path}/{STATE_DIR}"
 
 
-def read_conv_state(spark: SparkSession, fact_path: str) -> DataFrame | None:
-    p = _state_path(fact_path)
-    if not os.path.exists(p):
+def _current_file(root: str) -> str:
+    return f"{root}/CURRENT"
+
+
+def _intent_file(root: str) -> str:
+    return f"{root}/INTENT"
+
+
+def _current_version(root: str) -> str | None:
+    cur = _current_file(root)
+    if not os.path.exists(cur):
         return None
-    return spark.read.parquet(p)
+    with open(cur) as f:
+        return f.read().strip() or None
+
+
+def read_conv_state(spark: SparkSession, fact_path: str) -> DataFrame | None:
+    """Current per-conversation state (conv_id, last_us, conv_bucket),
+    or None before the first append."""
+    root = _state_root(fact_path)
+    v = _current_version(root)
+    if v is None:
+        return None
+    return spark.read.parquet(f"{root}/{v}")
+
+
+def _with_cross_batch_gaps(
+    batch: DataFrame,
+    state: DataFrame | None,
+    key: str,
+    ts: str,
+    order: Sequence[str],
+) -> DataFrame:
+    """gap_us = intra-batch lag, falling back to the state table's
+    last_us for each conversation's first batch row.
+
+    No broadcast hint on the state side: at warehouse scale the state
+    table (one row per conversation ever ingested) does not fit in
+    driver/executor memory; AQE still broadcasts it while it's small.
+    """
+    w = Window.partitionBy(key).orderBy(*[F.col(c) for c in order])
+    us = F.unix_micros(F.col(ts))
+    batch = batch.withColumn("_gap_intra", us - F.lag(us).over(w))
+    if state is not None:
+        prev = state.select(key, F.col("last_us").alias("_prev_us"))
+        batch = batch.join(prev, on=key, how="left")
+    else:
+        batch = batch.withColumn("_prev_us", F.lit(None).cast("long"))
+    return batch.withColumn(
+        "gap_us",
+        F.coalesce(F.col("_gap_intra"), us - F.col("_prev_us")),
+    ).drop("_gap_intra", "_prev_us")
 
 
 def append_transcripts(
@@ -66,39 +130,77 @@ def append_transcripts(
     list of event dates the batch touched (the refresh targets).
 
     The intra-batch gap is the usual per-conv lag; each conv's FIRST
-    batch row takes its gap from the state table's last_ts (null if the
+    batch row takes its gap from the state table's last_us (null if the
     conv is new). State update = merge of old state with the batch's
-    per-conv max — one small-table write, no raw scan."""
-    w = Window.partitionBy(key).orderBy(*[F.col(c) for c in order])
-    us = F.unix_micros(F.col(ts))
-    batch = new_df.withColumn("_gap_intra", us - F.lag(us).over(w))
+    per-conv max — one small-table write, no raw scan.
 
+    Write protocol (crash-detectable, see module docstring):
+      1. refuse if a previous append left an INTENT marker;
+      2. write the merged state as a NEW immutable version dir (orphan
+         on failure — harmless, CURRENT still points at the old one);
+      3. write INTENT; 4. append the fact rows; 5. atomically swap
+         CURRENT to the new version (os.replace); 6. clear INTENT.
+    """
+    root = _state_root(fact_path)
+    os.makedirs(root, exist_ok=True)
+    if os.path.exists(_intent_file(root)):
+        raise RuntimeError(
+            f"previous append to {fact_path} did not complete (INTENT marker "
+            f"present at {_intent_file(root)}); the fact table and conv state "
+            "may disagree — rebuild the table (or restore the marker's "
+            "pre-append state) before appending again"
+        )
+    cur = _current_version(root)
     state = read_conv_state(spark, fact_path)
-    if state is not None:
-        prev = state.select(key, F.col("last_us").alias("_prev_us"))
-        batch = batch.join(F.broadcast(prev), on=key, how="left")
-    else:
-        batch = batch.withColumn("_prev_us", F.lit(None).cast("long"))
-    batch = batch.withColumn(
-        "gap_us",
-        F.coalesce(F.col("_gap_intra"), us - F.col("_prev_us")),
-    ).drop("_gap_intra", "_prev_us")
+    if state is None and os.path.exists(fact_path):
+        if any(e.startswith("conv_bucket=") for e in os.listdir(fact_path)):
+            raise RuntimeError(
+                f"fact table at {fact_path} is non-empty but has no conv "
+                "state — it was not built by append_transcripts; appends "
+                "would compute wrong cross-batch gaps"
+            )
 
+    bucket = F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
+    if state is not None:
+        # prune the state read to the buckets this batch touches
+        # (O(n_buckets) driver values, same bookkeeping class as checkpoint)
+        touched = [
+            r.b for r in new_df.select(bucket.alias("b")).distinct().collect()
+        ]
+        if len(touched) < n_buckets:
+            state = state.filter(F.col("conv_bucket").isin(touched))
+    batch = _with_cross_batch_gaps(new_df, state, key, ts, order)
+
+    # 2. new immutable state version (conv_id -> max last_us), bucketed
+    us = F.unix_micros(F.col(ts))
+    batch_state = new_df.groupBy(key).agg(F.max(us).alias("last_us"))
+    merged = (
+        read_conv_state(spark, fact_path)  # unpruned
+        .select(key, "last_us")
+        .unionByName(batch_state)
+        .groupBy(key)
+        .agg(F.max("last_us").alias("last_us"))
+        if cur is not None
+        else batch_state
+    )
+    next_v = f"v_{(int(cur[2:]) if cur else 0) + 1:06d}"
+    merged.withColumn("conv_bucket", bucket).write.mode("overwrite").partitionBy(
+        "conv_bucket"
+    ).parquet(f"{root}/{next_v}")
+
+    # 3-6. INTENT-bracketed fact append + atomic pointer swap
+    with open(_intent_file(root), "w") as f:
+        json.dump({"version": next_v, "prev": cur}, f)
     write_transcripts(
         batch, fact_path, n_buckets=n_buckets, key=key, ts=ts, mode="append"
     )
-
-    # state merge (conv_id -> max last_us across old state and batch)
-    batch_state = batch.groupBy(key).agg(F.max(us).alias("last_us"))
-    merged = (
-        state.unionByName(batch_state).groupBy(key).agg(F.max("last_us").alias("last_us"))
-        if state is not None
-        else batch_state
-    )
-    tmp = _state_path(fact_path) + ".tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    final = _state_path(fact_path)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(final)
+    ptr_tmp = _current_file(root) + ".tmp"
+    with open(ptr_tmp, "w") as f:
+        f.write(next_v)
+    os.replace(ptr_tmp, _current_file(root))
+    os.remove(_intent_file(root))
+    if cur is not None:  # old version no longer referenced
+        shutil.rmtree(f"{root}/{cur}", ignore_errors=True)
 
     return [r.d for r in batch.select(F.to_date(ts).alias("d")).distinct().collect()]
 

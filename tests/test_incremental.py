@@ -99,3 +99,53 @@ def test_conv_state_and_cross_batch_gap(spark, tmp_path, split_data):
     # refusal path: refresh over dates needs the fact table to exist
     with pytest.raises(Exception):
         refresh_tiers(spark, str(tmp_path / "nope"), str(tmp_path / "o"), dates=["2026-01-01"])
+
+
+def test_state_join_is_not_forced_broadcast(spark, tmp_path, split_data):
+    """The state side must not carry a broadcast hint: with auto-broadcast
+    disabled the gap join must plan as a shuffle join (a hint would force
+    BroadcastHashJoin regardless of the threshold). At warehouse scale the
+    state table is O(#conversations) and cannot be broadcast."""
+    from gmql_spark.incremental import _with_cross_batch_gaps
+
+    _, b1, _ = split_data
+    state = b1.groupBy("conv_id").agg(
+        F.max(F.unix_micros("ts")).alias("last_us")
+    ).withColumn("conv_bucket", F.lit(0))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = _with_cross_batch_gaps(b1, state, "conv_id", "ts", ("turn_idx",))
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "ResolvedHint" not in plan
+        phys = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in phys, phys
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_intent_marker_blocks_append_after_crash(spark, tmp_path, split_data):
+    """A leftover INTENT marker (crash between fact append and pointer
+    swap) must fail the next append loudly instead of silently computing
+    gaps from stale state."""
+    from gmql_spark.incremental import _intent_file, _state_root
+
+    _, b1, b2 = split_data
+    fact = str(tmp_path / "fact3")
+    append_transcripts(spark, b1, fact, n_buckets=2)
+    with open(_intent_file(_state_root(fact)), "w") as f:
+        f.write("{}")
+    with pytest.raises(RuntimeError, match="INTENT"):
+        append_transcripts(spark, b2, fact, n_buckets=2)
+
+
+def test_append_refuses_foreign_fact_table(spark, tmp_path, split_data):
+    """A non-empty bucketed fact table with no conv state was not built
+    by append_transcripts; appending would compute wrong cross-batch gaps."""
+    from gmql_spark.sources.catalog import write_transcripts
+
+    _, b1, b2 = split_data
+    fact = str(tmp_path / "fact4")
+    write_transcripts(b1, fact, n_buckets=2)
+    with pytest.raises(RuntimeError, match="conv state"):
+        append_transcripts(spark, b2, fact, n_buckets=2)

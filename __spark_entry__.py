@@ -432,6 +432,21 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(q, emb, k=5)
 
 
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 neighbors via random-hyperplane LSH buckets +
+    exact cosine re-rank (the similarity-search scale path; candidates
+    ∝ bucket collisions instead of |Q|×|N|). Deterministic planes
+    (PCG64 seed) so the DuckDB oracle can inline them as literals.
+    ``sim`` is dropped from the gate output (float last-ulp hash noise);
+    rank order is still fully determined by it."""
+    from gmql_spark.operators.similarity import lsh_bucket_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    out = lsh_bucket_topk(q, emb, k=5, n_planes=8, n_tables=2, dim=64, seed=7)
+    return out.select("query_id", "neighbor_id", "rank")
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup family, embedding
     modality): brute verification path over a bounded block; the LSH
@@ -650,6 +665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "language_id": q_language_id,
         "cosine_topk": q_cosine_topk,
+        "ann_topk": q_ann_topk,
         "embedding_neardup": q_embedding_neardup,
         "frame_samples": q_frame_samples,
         "multimodal_features": q_multimodal_features,
@@ -730,6 +746,59 @@ def _minhash_sql(num_perm: int = 64, bands: int = 16, threshold: float = 0.5) ->
         JOIN sig a ON a.doc_id = id_a
         JOIN sig b ON b.doc_id = id_b
         WHERE ({eq}) / CAST({float(num_perm)} AS DOUBLE) >= {threshold}
+    """
+
+
+def _ann_sql(n_planes: int = 8, n_tables: int = 2, dim: int = 64, seed: int = 7,
+             k: int = 5) -> str:
+    """DuckDB oracle for ``q_ann_topk``: the SAME deterministic
+    hyperplanes (numpy PCG64(seed), identical to
+    ``similarity.lsh_bucket_topk``) inlined as DOUBLE[] literals;
+    bucket = sum of sign bits, candidates = bucket equi-join, re-rank =
+    exact cosine. Element products and left-to-right summation match
+    Spark's zip_with/aggregate fold bit-for-bit."""
+    import numpy as np
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    vals = ",\n                   ".join(
+        f"({t}, {p}, CAST([{', '.join(repr(float(x)) for x in planes[t, p])}] AS DOUBLE[]))"
+        for t in range(n_tables)
+        for p in range(n_planes)
+    )
+    return f"""
+        WITH planes(tbl, p, w) AS (
+            VALUES {vals}
+        ), q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < 20
+        ), c AS (
+            SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+            FROM embeddings
+        ), qsig AS (
+            SELECT query_id, tbl,
+                   CAST(sum(CASE WHEN list_dot_product(qv, w) > 0
+                            THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+            FROM q CROSS JOIN planes GROUP BY 1, 2
+        ), csig AS (
+            SELECT neighbor_id, tbl,
+                   CAST(sum(CASE WHEN list_dot_product(cv, w) > 0
+                            THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+            FROM c CROSS JOIN planes GROUP BY 1, 2
+        ), cands AS (
+            SELECT DISTINCT query_id, neighbor_id
+            FROM qsig JOIN csig ON qsig.tbl = csig.tbl AND qsig.bucket = csig.bucket
+            WHERE query_id <> neighbor_id
+        ), scored AS (
+            SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS sim
+            FROM cands JOIN q USING (query_id) JOIN c USING (neighbor_id)
+        ), ranked AS (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {k}
     """
 
 
@@ -1133,6 +1202,7 @@ def oracle_sql() -> dict[str, str]:
                    score AS lang_score
             FROM best WHERE rn = 1
         """,
+        "ann_topk": _ann_sql(),
         "cosine_topk": """
             WITH q AS (
                 SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -490,6 +490,19 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bag_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GMQL BAG/BAGD aggregates (DefaultRegionsToRegionFactory.scala:
+    127-170): sorted comma-joined bag of values / distinct values per
+    group, null-skipping."""
+    from gmql_spark.functions.aggregates import bag, bagd
+
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        bagd("event_type").alias("types_bagd"),
+        bag("event_type").alias("types_bag"),
+    )
+
+
 def q_group_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GroupRD analogue (``GroupRD.scala:17-66``): group + aggregate with
     exact decimal sums (TPC-H Q1 shape)."""
@@ -669,6 +682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "frame_samples": q_frame_samples,
         "multimodal_features": q_multimodal_features,
+        "bag_aggregates": q_bag_aggregates,
         "group_lineitem": q_group_lineitem,
         "join_dims": q_join_dims,
         "project_extend": q_project_extend,
@@ -1236,6 +1250,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+        """,
+        "bag_aggregates": """
+            SELECT user_id,
+                   coalesce(string_agg(DISTINCT event_type, ','
+                                       ORDER BY event_type), '') AS types_bagd,
+                   coalesce(string_agg(event_type, ','
+                                       ORDER BY event_type), '') AS types_bag
+            FROM events GROUP BY 1
         """,
         "group_lineitem": """
             SELECT l_returnflag, l_linestatus, count(*) AS n,

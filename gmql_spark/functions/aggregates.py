@@ -68,6 +68,25 @@ def merge_counts_maps(col: Column | str) -> Column:
     return F.aggregate(F.collect_list(c), empty, _merge)
 
 
+def bag(col: Column | str, sep: str = ",") -> Column:
+    """Aggregate: GMQL's BAG — all non-null values, sorted, joined into
+    one string (``DefaultRegionsToRegionFactory.scala:127-148``
+    semantics: the multiset of values rendered deterministically).
+    Nulls are skipped (collect_list drops them); an all-null group
+    yields the empty string, matching the reference's empty-bag render.
+    Values are stringified first so the sort is lexicographic and
+    matches DuckDB's ``string_agg(... ORDER BY ...)`` oracle."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_join(F.array_sort(F.collect_list(c.cast("string"))), sep)
+
+
+def bagd(col: Column | str, sep: str = ",") -> Column:
+    """Aggregate: GMQL's BAGD — DISTINCT non-null values, sorted, joined
+    (``DefaultRegionsToRegionFactory.scala:149-170``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_join(F.array_sort(F.collect_set(c.cast("string"))), sep)
+
+
 def exact_percentiles(col: Column | str, ps: Sequence[float]) -> list[Column]:
     """Exact percentiles with linear interpolation — same definition as
     numpy ``percentile(method='linear')`` and DuckDB ``quantile_cont``.

@@ -176,3 +176,22 @@ def test_temporal_difference_zero_distance_is_exact(spark):
     right = spark.createDataFrame([("a", t)], "k string, ts timestamp")
     kept = {r.lid for r in temporal_difference(left, right, keys=["k"], max_distance_s=0.0).collect()}
     assert kept == {2}  # row at exactly t suppressed; row 1µs later kept
+
+def test_bag_bagd_null_skip_and_order(spark):
+    """BAG/BAGD (DefaultRegionsToRegionFactory.scala:127-170): sorted
+    comma-joined bag / distinct bag; nulls skipped; all-null group
+    renders the empty bag."""
+    from gmql_spark.functions.aggregates import bag, bagd
+
+    df = spark.createDataFrame(
+        [("g1", "b"), ("g1", "a"), ("g1", "b"), ("g1", None), ("g2", None)],
+        "g string, v string",
+    )
+    out = {
+        r.g: (r.b, r.bd)
+        for r in df.groupBy("g")
+        .agg(bag("v").alias("b"), bagd("v").alias("bd"))
+        .collect()
+    }
+    assert out["g1"] == ("a,b,b", "a,b")
+    assert out["g2"] == ("", "")

@@ -105,22 +105,32 @@ def nearest_k(
     right: DataFrame,
     keys: Sequence[str],
     k: int = 1,
-    max_distance_s: float = 3600.0,
+    max_distance_s: float | None = 3600.0,
     left_id: str = "event_id",
     left_ts: str = "ts",
     right_ts: str = "ts",
     right_cols: Sequence[str] = (),
     direction: str = "both",
     suffix: str = "_r",
+    initial_radius_s: float = 3600.0,
 ) -> DataFrame:
     """Top-k nearest right rows per left row by |Δts| — GMQL
     ``MinDistance(k)`` (``GenometricJoin.scala:130-151``: per-ref
-    groupByKey + sort over binned candidates). The reference searches an
-    unbounded radius by replicating across bins; here the search radius
-    is an explicit ``max_distance_s`` bound so candidates come from the
-    bucketed equi-prefix join and the top-k is a per-left-row window
-    rank — fully distributed, no driver sort, candidate volume ∝ rows
-    within the radius.
+    groupByKey + sort over binned candidates). With an explicit
+    ``max_distance_s`` the candidates come from one bucketed equi-prefix
+    join and the top-k is a per-left-row window rank — fully
+    distributed, no driver sort, candidate volume ∝ rows within the
+    radius.
+
+    ``max_distance_s=None`` searches an UNBOUNDED radius like the
+    reference: iterative radius doubling starting at
+    ``initial_radius_s`` — each round is the same bounded bucket join,
+    restricted to the left rows that have not yet found k neighbors
+    (top-k within radius r is globally correct for a row once it has ≥k
+    candidates, since every unseen candidate is farther than r). Rows
+    re-joined per round shrink geometrically; the loop is bounded by
+    log2(right-span / initial_radius) ≤ ~50 rounds, each a distributed
+    job (one small driver count per round for termination).
 
     ``direction``: ``'both'`` | ``'backward'`` (right at-or-before left,
     GMQL Upstream) | ``'forward'`` (at-or-after, Downstream). Ties on
@@ -130,6 +140,11 @@ def nearest_k(
     ``right_cols`` + ``distance_s`` (signed: positive = right before
     left) + ``nn_rank`` (1-based).
     """
+    if max_distance_s is None:
+        return _nearest_k_unbounded(
+            left, right, keys, k, left_id, left_ts, right_ts, right_cols,
+            direction, suffix, initial_radius_s,
+        )
     bucket_us = max(int(max_distance_s * 1e6), 1)
     lus = F.unix_micros(F.col(left_ts))
     rus = F.unix_micros(F.col(f"{right_ts}{suffix}"))
@@ -163,6 +178,78 @@ def nearest_k(
         .withColumn("nn_rank", F.row_number().over(w))
         .filter(F.col("nn_rank") <= k)
     )
+
+
+def _nearest_k_unbounded(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    k: int,
+    left_id: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    direction: str,
+    suffix: str,
+    initial_radius_s: float,
+) -> DataFrame:
+    """Iterative radius doubling (see ``nearest_k``). Once the radius
+    covers the combined span of both sides every remaining row has seen
+    ALL its candidates, so rows with <k neighbors terminate with what
+    exists (matching the reference's unbounded bin replication,
+    ``GenometricJoin.scala:284-331``, without replicating the whole
+    table ±∞)."""
+    spark = left.sparkSession
+    bounds = right.agg(
+        F.min(F.unix_micros(F.col(right_ts))).alias("lo"),
+        F.max(F.unix_micros(F.col(right_ts))).alias("hi"),
+    ).collect()[0]
+    empty_schema_probe = nearest_k(
+        left.limit(0), right.limit(0), keys, k=k, max_distance_s=initial_radius_s,
+        left_id=left_id, left_ts=left_ts, right_ts=right_ts,
+        right_cols=right_cols, direction=direction, suffix=suffix,
+    )
+    if bounds.lo is None:
+        return empty_schema_probe
+    lb2 = left.agg(
+        F.min(F.unix_micros(F.col(left_ts))).alias("lo"),
+        F.max(F.unix_micros(F.col(left_ts))).alias("hi"),
+    ).collect()[0]
+    # a radius covering max(|l - r|) over both spans sees every candidate
+    span_s = max(abs(bounds.hi - lb2.lo), abs(lb2.hi - bounds.lo)) / 1e6
+    radius = max(initial_radius_s, 1e-6)
+    remaining = left
+    finished = [empty_schema_probe]
+    while True:
+        res = nearest_k(
+            remaining, right, keys, k=k, max_distance_s=radius,
+            left_id=left_id, left_ts=left_ts, right_ts=right_ts,
+            right_cols=right_cols, direction=direction, suffix=suffix,
+        )
+        exhaustive = radius >= span_s
+        if exhaustive:
+            finished.append(res)
+            break
+        full = (
+            res.groupBy(left_id)
+            .agg(F.count(F.lit(1)).alias("_m"))
+            .filter(F.col("_m") >= k)
+            .select(left_id)
+        )
+        finished.append(res.join(full, on=left_id, how="left_semi"))
+        remaining = remaining.join(full, on=left_id, how="left_anti")
+        # localCheckpoint truncates the growing anti-join lineage across
+        # rounds (plain persist leaves the logical plan growing without
+        # bound — O(rounds) joins deep — until plan stringification and
+        # optimization themselves blow up)
+        remaining = remaining.localCheckpoint(eager=True)
+        if remaining.isEmpty():
+            break
+        radius *= 2.0
+    out = finished[0]
+    for f in finished[1:]:
+        out = out.unionByName(f)
+    return out
 
 
 BUILDERS = ("both", "left", "right", "intersection", "contig")

@@ -195,3 +195,49 @@ def test_bag_bagd_null_skip_and_order(spark):
     }
     assert out["g1"] == ("a,b,b", "a,b")
     assert out["g2"] == ("", "")
+
+
+def test_nearest_k_unbounded_matches_bruteforce(spark):
+    """max_distance_s=None searches an unbounded radius via iterative
+    doubling (GenometricJoin.scala:284-331 parity): neighbors far beyond
+    the initial radius are found, and rows with fewer than k global
+    neighbors return what exists. Oracle: brute-force over all pairs."""
+    import random
+
+    from gmql_spark.operators.join import nearest_k
+
+    rng = random.Random(11)
+    t0 = dt.datetime(2026, 1, 1)
+    # key "a": right rows clustered 2-5 DAYS away from the left rows
+    # (initial radius is 60 s); key "b": only one right row total
+    left_rows, right_rows = [], []
+    eid = 0
+    for _ in range(25):
+        left_rows.append((eid, "a", t0 + dt.timedelta(seconds=rng.uniform(0, 3600))))
+        eid += 1
+    for _ in range(8):
+        right_rows.append(("a", t0 + dt.timedelta(days=rng.uniform(2, 5))))
+    left_rows.append((eid, "b", t0)); eid += 1
+    left_rows.append((eid, "c", t0)); eid += 1  # no right rows at all
+    right_rows.append(("b", t0 + dt.timedelta(days=30)))
+    left = spark.createDataFrame(left_rows, "event_id long, k string, ts timestamp")
+    right = spark.createDataFrame(right_rows, "k string, ts timestamp")
+
+    out = nearest_k(
+        left, right, keys=["k"], k=3, max_distance_s=None,
+        left_id="event_id", initial_radius_s=3600.0,
+    ).select("event_id", "ts_r", "nn_rank").collect()
+
+    # brute-force oracle
+    exp = {}
+    for (e, kk, lt) in left_rows:
+        cands = sorted(
+            (abs((rt - lt).total_seconds()), rt) for (rk, rt) in right_rows if rk == kk
+        )[:3]
+        exp[e] = [rt for _, rt in cands]
+    got = {}
+    for r in out:
+        got.setdefault(r.event_id, {})[r.nn_rank] = r.ts_r
+    for e, exp_list in exp.items():
+        got_list = [t for _, t in sorted(got.get(e, {}).items())]
+        assert got_list == exp_list, f"event {e}: {got_list} != {exp_list}"

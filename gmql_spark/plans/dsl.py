@@ -111,7 +111,29 @@ def _split_statements(text: str) -> list[tuple[int, str]]:
 
 
 def _strip_comments(text: str) -> str:
-    return re.sub(r"#[^\n]*", "", text)
+    """Remove ``#`` comments with the same quote-tracking scan as
+    ``_split_statements``, so a ``#`` inside a quoted literal (e.g.
+    ``LOAD '/data/run#3'``) is preserved."""
+    out, q, skip = [], None, False
+    for ch in text:
+        if skip:
+            if ch == "\n":
+                skip = False
+                out.append(ch)
+            continue
+        if q:
+            out.append(ch)
+            if ch == q:
+                q = None
+            continue
+        if ch in "'\"":
+            q = ch
+            out.append(ch)
+        elif ch == "#":
+            skip = True
+        else:
+            out.append(ch)
+    return "".join(out)
 
 
 def _parse_value(tok: str):
@@ -212,14 +234,36 @@ def _op_select(dfs: Sequence[DataFrame], st: Statement) -> DataFrame:
     return dfs[0].filter(expr)
 
 
+_PROJECT_RESERVED = ("keep", "start", "end", "start_col", "end_col", "clamp_min")
+
+
 def _op_project(dfs, st):
+    """PROJECT: column keep-list + computed columns; with ``start`` and
+    ``end`` params it is the interval-rewrite sugar (ProjectRD coordinate
+    reassignment, ``ProjectRD.scala:22-119``): rewrite the interval pair
+    with clamp (``clamp_min``) + drop-degenerate rules via
+    ``project_intervals``."""
+    df = dfs[0]
+    if "start" in st.params and "end" in st.params:
+        from gmql_spark.operators.project import project_intervals
+
+        df = project_intervals(
+            df,
+            F.expr(str(st.params["start"])),
+            F.expr(str(st.params["end"])),
+            start_col=st.params.get("start_col", "start_ts"),
+            end_col=st.params.get("end_col", "end_ts"),
+            min_ts=st.params.get("clamp_min"),
+        )
+    elif "start" in st.params or "end" in st.params:
+        raise GSLError(
+            f"line {st.pos}: PROJECT interval rewrite needs BOTH start and end"
+        )
     keep = st.params.get("keep")
-    exprs = {
-        k: v for k, v in st.params.items() if k not in ("keep",)
-    }
-    cols = list(keep) if keep else ([] if exprs else dfs[0].columns)
+    exprs = {k: v for k, v in st.params.items() if k not in _PROJECT_RESERVED}
+    cols = list(keep) if keep else ([] if exprs else df.columns)
     out = [F.col(c) for c in cols] + [F.expr(str(v)).alias(k) for k, v in exprs.items()]
-    return dfs[0].select(*out)
+    return df.select(*out)
 
 
 def _op_extend(dfs, st):
@@ -409,6 +453,57 @@ def _op_sessionize(dfs, st):
     )
 
 
+def _op_group(dfs, st):
+    """GROUP (GMQL first-class GROUP statement,
+    ``GmqlParsers.scala``/``Translator.scala:311-362``): group by
+    attribute columns and aggregate; defaults to the reference's
+    duplicate-count when no aggregate is given. ``having`` filters the
+    aggregated rows."""
+    by = st.params.get("by", ["conv_id"])
+    by = by if isinstance(by, list) else [by]
+    aggs = [
+        F.expr(str(v)).alias(k)
+        for k, v in st.params.items()
+        if k not in ("by", "having")
+    ]
+    if not aggs:
+        aggs = [F.count(F.lit(1)).alias("n")]
+    out = dfs[0].groupBy(*by).agg(*aggs)
+    if "having" in st.params:
+        out = out.filter(str(st.params["having"]))
+    return out
+
+
+def _op_order(dfs, st):
+    """ORDER (GMQL ORDER statement with Top/TopP/TopG options,
+    ``OrderRD.scala:23-168``): appends ``order_pos`` (or ``order_pct``)
+    within ``key`` groups; ``k`` keeps Top(k), ``percent`` keeps TopP,
+    ``group`` ranks per value-group within each key (TopG). Without
+    ``key`` the ranking is global — GMQL's driver sort recast as a
+    single-partition window (fine for post-aggregate row counts; give a
+    key for raw-scale data)."""
+    from gmql_spark.operators.order import (
+        rank_per_key,
+        top_percent_per_key,
+        topg_per_key,
+        topk_per_key,
+    )
+
+    keys = st.params.get("key", [])
+    keys = keys if isinstance(keys, list) else [keys]
+    by = st.params.get("by", "ts")
+    order = [F.expr(e) for e in (by if isinstance(by, list) else [by])]
+    if "percent" in st.params:
+        return top_percent_per_key(dfs[0], keys, order, float(st.params["percent"]))
+    if "group" in st.params:
+        groups = st.params["group"]
+        groups = groups if isinstance(groups, list) else [groups]
+        return topg_per_key(dfs[0], keys, groups, order, int(st.params.get("k", 1)))
+    if "k" in st.params:
+        return topk_per_key(dfs[0], keys, order, int(st.params["k"]))
+    return rank_per_key(dfs[0], keys, order)
+
+
 def _op_merge(dfs, st):
     # MergeRD analogue: collapse all keys into a single global series by
     # re-keying to a constant (``MergeRD.scala:27-45``)
@@ -434,6 +529,8 @@ OPS: dict[str, tuple] = {
     "HISTOGRAM": (_op_cover, 1),
     "SUMMIT": (_op_cover, 1),
     "FLAT": (_op_cover, 1),
+    "GROUP": (_op_group, 1),
+    "ORDER": (_op_order, 1),
     "DEDUP": (_op_dedup, 1),
     "COMPRESS": (_op_compress, 1),
     "MERGE": (_op_merge, 1),
@@ -471,6 +568,35 @@ def compile_script(
             from gmql_spark.sources.catalog import read_transcripts
 
             symbols[st.target] = read_transcripts(spark, st.params["path"])
+            continue
+        if st.op == "RETENTION":
+            # side-effecting statement (like MATERIALIZE): apply the
+            # per-tier expiry policy and bind the expired-partition
+            # report as the target variable. policy entries are
+            # 'tier=days' / 'tier=none' strings ('1m' is not a valid
+            # param key in the grammar).
+            from gmql_spark.retention import apply_retention
+
+            pol = {}
+            for item in st.params.get("policy", []):
+                tier, _, keep = str(item).partition("=")
+                pol[tier.strip()] = (
+                    None if keep.strip().lower() in ("none", "") else int(keep)
+                )
+            from datetime import date as _date
+
+            res = apply_retention(
+                st.params["warehouse"],
+                policy=pol or None,
+                as_of=_date.fromisoformat(st.params["as_of"])
+                if "as_of" in st.params
+                else None,
+                dry_run=bool(st.params.get("dry_run", False)),
+            )
+            rows = [(t, p) for t, ps in res.items() for p in ps] or []
+            symbols[st.target] = spark.createDataFrame(
+                rows, "tier string, expired_partition string"
+            )
             continue
         if st.op not in OPS:
             raise GSLError(f"line {st.pos}: unknown operator {st.op!r}; known: {sorted(OPS)}")

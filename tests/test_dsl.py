@@ -99,3 +99,112 @@ def test_script_cover_and_topg(spark, raw):
     k = compiled.materialized["K"]
     # one row per (conv, role) present
     assert k.groupBy("conv_id", "role").count().filter("count > 1").count() == 0
+
+
+def test_comment_hash_inside_quotes_preserved(spark, raw, tmp_path):
+    """'#' inside a quoted literal must survive comment stripping."""
+    p = str(tmp_path / "run#3")
+    stmts = parse(f"T = LOAD '{p}';  # trailing comment\nMATERIALIZE T;")
+    assert stmts[0].params["path"] == p
+    stmts2 = parse("U = SELECT(role = '#tool') T; MATERIALIZE U;")
+    assert "#tool" in stmts2[0].raw_params
+
+
+def test_group_statement_equals_direct(spark, raw):
+    script = """
+        G = GROUP(by: ['role'], n: 'count(*)', first_ts: 'min(ts)',
+                  having: 'n > 5') T;
+        MATERIALIZE G;
+    """
+    got = compile_script(spark, script, tables={"T": raw}).materialized["G"]
+    exp = (
+        raw.groupBy("role")
+        .agg(F.count(F.lit(1)).alias("n"), F.expr("min(ts)").alias("first_ts"))
+        .filter("n > 5")
+    )
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+    # default aggregate = duplicate count
+    g2 = compile_script(
+        spark, "G = GROUP(by: ['conv_id', 'role']) T; MATERIALIZE G;", tables={"T": raw}
+    ).materialized["G"]
+    assert g2.columns == ["conv_id", "role", "n"]
+
+
+def test_order_statement_variants(spark, raw):
+    from gmql_spark.operators.order import top_percent_per_key, topk_per_key
+
+    got = compile_script(
+        spark,
+        "O = ORDER(key: 'conv_id', by: ['ts desc'], k: 2) T; MATERIALIZE O;",
+        tables={"T": raw},
+    ).materialized["O"]
+    exp = topk_per_key(raw, ["conv_id"], [F.expr("ts desc")], 2)
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+    gotp = compile_script(
+        spark,
+        "O = ORDER(key: 'conv_id', by: ['ts'], percent: 0.1) T; MATERIALIZE O;",
+        tables={"T": raw},
+    ).materialized["O"]
+    expp = top_percent_per_key(raw, ["conv_id"], [F.expr("ts")], 0.1)
+    assert gotp.exceptAll(expp).count() == 0 and expp.exceptAll(gotp).count() == 0
+
+    # global rank (no key): order_pos is a permutation of 1..n
+    glob = compile_script(
+        spark,
+        "O = ORDER(by: ['ts', 'conv_id', 'turn_idx']) T; MATERIALIZE O;",
+        tables={"T": raw},
+    ).materialized["O"]
+    n = raw.count()
+    assert glob.agg(F.min("order_pos"), F.max("order_pos")).collect()[0] == (1, n)
+
+
+def test_project_interval_rewrite_sugar(spark, raw):
+    from gmql_spark.operators.project import project_intervals
+
+    iv = raw.select(
+        "conv_id", F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("interval 10 minutes")).alias("end_ts"),
+    )
+    script = """
+        P = PROJECT(start: 'start_ts - interval 5 minutes',
+                    end: 'start_ts + interval 5 minutes') IV;
+        MATERIALIZE P;
+    """
+    got = compile_script(spark, script, tables={"IV": iv}).materialized["P"]
+    exp = project_intervals(
+        iv,
+        F.expr("start_ts - interval 5 minutes"),
+        F.expr("start_ts + interval 5 minutes"),
+    )
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+    with pytest.raises(GSLError, match="BOTH start and end"):
+        compile_script(
+            spark, "P = PROJECT(start: 'ts') T; MATERIALIZE P;", tables={"T": raw}
+        )
+
+
+def test_retention_statement(spark, raw, tmp_path):
+    """RETENTION lowers to retention.apply_retention: expired
+    event_date partitions are deleted per the tier policy."""
+    from gmql_spark.sources.catalog import write_transcripts
+
+    wh = str(tmp_path / "wh")
+    write_transcripts(raw, f"{wh}/transcripts", n_buckets=2)
+    dates = sorted(
+        r.d for r in raw.select(F.to_date("ts").alias("d")).distinct().collect()
+    )
+    as_of = dates[-1]
+    script = f"""
+        R = RETENTION(warehouse: '{wh}', policy: ['raw=3'], as_of: '{as_of}');
+        MATERIALIZE R;
+    """
+    rep = compile_script(spark, script, tables={}).materialized["R"].toPandas()
+    assert (rep["tier"] == "raw").all() and len(rep) > 0
+    left_dates = {
+        r.event_date for r in
+        spark.read.parquet(f"{wh}/transcripts").select("event_date").distinct().collect()
+    }
+    import datetime as _dt
+    horizon = as_of - _dt.timedelta(days=3)
+    assert all(d >= horizon for d in left_dates)

@@ -24,11 +24,22 @@ from pyspark.sql import functions as F
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """One keeper (min id) per distinct text; n_dups = group size."""
+    """One keeper (min id) per distinct text; n_dups = group size.
+
+    Groups by ``(length, xxhash64, md5)`` of the text instead of the raw
+    text, so the shuffle key is ~50 bytes per row instead of the whole
+    document (at corpus scale that cuts shuffle bytes by roughly the
+    mean document length). A false merge needs a simultaneous md5 AND
+    xxhash64 AND length collision — negligible, and the operator's
+    output key is already md5(text)."""
     return (
-        df.groupBy(text_col)
+        df.groupBy(
+            F.length(text_col).alias("_len"),
+            F.xxhash64(F.col(text_col)).alias("_xx"),
+            F.md5(F.col(text_col)).alias("text_hash"),
+        )
         .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
-        .select(F.md5(text_col).alias("text_hash"), "keep_id", "n_dups")
+        .select("text_hash", "keep_id", "n_dups")
     )
 
 
@@ -63,13 +74,16 @@ def ngram_jaccard_pairs(
     document frequency — a stopword trigram in k docs contributes k²
     candidate rows. ``max_doc_count`` drops shingles appearing in more
     than that many documents BEFORE the join (the standard hot-shingle
-    cap). A dropped shingle can only LOWER a pair's computed jaccard
-    (the common count and both sizes shrink by the same shared shingle),
-    so the filter trades recall near the threshold for a join bounded by
-    max_doc_count² per shingle; exact semantics need
-    ``max_doc_count=None`` (the gate's oracle-checked mode). Standalone
-    corpus-scale runs should set it (e.g. 1000); as the verification
-    stage of MinHash-LSH candidates it is unnecessary."""
+    cap), and the returned jaccard is then the jaccard OF THE CAPPED
+    SHINGLE SETS (sizes and common both computed post-cap — similarity
+    on the informative features, like stopword removal). Relative to
+    the uncapped jaccard this can move EITHER way near the threshold:
+    a hot shingle shared by the pair lowers it (recall loss), while a
+    hot shingle present in only one doc shrinks that doc's size and
+    raises it (possible false positive). Exact raw-jaccard semantics
+    need ``max_doc_count=None`` (the gate's oracle-checked mode).
+    Standalone corpus-scale runs should set it (e.g. 1000); as the
+    verification stage of MinHash-LSH candidates it is unnecessary."""
     sh = word_ngrams(df, id_col, text_col, n)
     if max_doc_count is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))

@@ -31,7 +31,16 @@ def sessionize(
     """One row per (key, session): session_start/session_end (first/last
     event ts), n_turns. A session breaks where the gap to the previous
     event exceeds ``gap_timeout_s`` (first event of a key always starts
-    one). ``order`` adds tie-break columns after ``ts``."""
+    one). ``order`` adds tie-break columns after ``ts``.
+
+    Hot-key bound (same contract as ``join.asof_join``): the window puts
+    each key's full history in ONE sort partition, so per-key row count
+    is the parallelism floor — fine for conversations (bounded turn
+    counts), and pinned by a 10⁶-row single-key skew test. For keys
+    beyond that, range-salt by coarse time bucket and stitch boundary
+    sessions with a per-(key, bucket) edge frame (the
+    ``cover._keyless_neighbors`` pattern), or use the streaming
+    sessionizer whose state is O(1) per key."""
     timeout_us = int(gap_timeout_s * 1e6)
     order_cols = [F.col(ts).asc(), *[F.col(c).asc() for c in order]]
     w = Window.partitionBy(key).orderBy(*order_cols)

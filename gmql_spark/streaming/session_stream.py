@@ -68,6 +68,38 @@ def _emit(key_col: str, key: str, sessions: list[tuple[int, int, int]]) -> pd.Da
     )
 
 
+def _merge_batch(
+    ts_us: np.ndarray,
+    open_session: tuple[int, int, int] | None,
+    timeout_us: int,
+) -> tuple[list[tuple[int, int, int]], tuple[int, int, int]]:
+    """Merge a batch's sorted event times with the open session state.
+
+    Split the batch at gaps > timeout (vectorized), then interval-merge
+    the runs WITH the open session: late events the watermark admits may
+    sort before the open session's last_us (or before its start_us), so
+    extension takes min/max of the bounds — naive "append at the end"
+    would regress last_us and shrink the session for out-of-order
+    arrivals. Returns (closed sessions, new open state); every merged
+    interval except the newest is closed, since nothing the watermark
+    still admits can bridge the >timeout gap to it.
+    """
+    splits = np.flatnonzero(np.diff(ts_us) > timeout_us) + 1
+    runs = np.split(ts_us, splits)
+    intervals = [(int(r[0]), int(r[-1]), len(r)) for r in runs]
+    if open_session is not None:
+        intervals.append(open_session)
+    intervals.sort()
+    merged: list[tuple[int, int, int]] = []
+    for first, last, cnt in intervals:
+        if merged and first - merged[-1][1] <= timeout_us:
+            s0, l0, c0 = merged[-1]
+            merged[-1] = (s0, max(l0, last), c0 + cnt)
+        else:
+            merged.append((first, last, cnt))
+    return merged[:-1], merged[-1]
+
+
 def stream_sessionize(
     stream: DataFrame,
     gap_timeout_s: float = 1800.0,
@@ -95,23 +127,8 @@ def stream_sessionize(
         ts_us = np.sort(
             batch[ts].to_numpy().astype("datetime64[us]").astype(np.int64)
         )
-        if state.exists:
-            start_us, last_us, n = state.get
-        else:
-            start_us = last_us = None  # type: ignore[assignment]
-            n = 0
-        closed: list[tuple[int, int, int]] = []
-        # split the sorted batch at gaps > timeout (vectorized)
-        splits = np.flatnonzero(np.diff(ts_us) > timeout_us) + 1
-        runs = np.split(ts_us, splits)
-        for run in runs:
-            first, last, cnt = int(run[0]), int(run[-1]), len(run)
-            if start_us is not None and first - last_us <= timeout_us:
-                last_us, n = last, n + cnt  # extends the open session
-            else:
-                if start_us is not None:
-                    closed.append((start_us, last_us, n))
-                start_us, last_us, n = first, last, cnt
+        open_session = tuple(state.get) if state.exists else None
+        closed, (start_us, last_us, n) = _merge_batch(ts_us, open_session, timeout_us)
         state.update((int(start_us), int(last_us), int(n)))
         # event-time timeout: fire when the watermark passes the point
         # at which the open session can no longer be extended

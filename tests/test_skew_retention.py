@@ -83,3 +83,30 @@ def test_retention_expiry(spark, tmp_path):
     rep = apply_retention(str(wh), {"raw": 5}, as_of=as_of, dry_run=True)
     assert rep["raw"]
     assert spark.read.parquet(str(wh / "transcripts")).count() == before
+
+
+def test_sessionize_hot_key(spark):
+    """Documented hot-key bound of sessionize: one conversation holding
+    10^6 turns must complete and stay exact (its history sorts in one
+    partition — the per-key parallelism floor the docstring states).
+    Events tick every 1 s with a >timeout jump every 1000 events, so the
+    expected output is exactly 1000 sessions of 1000 turns each."""
+    from gmql_spark.operators.session import sessionize
+
+    n, per = 1_000_000, 1000
+    # ts = id*1s + 3600s per completed block => inter-block gap = 3601 s
+    df = spark.range(n).select(
+        F.lit("hot").alias("conv_id"),
+        F.timestamp_micros(
+            (F.col("id") * 1_000_000 + (F.col("id") / per).cast("long") * 3_600_000_000).cast("long")
+        ).alias("ts"),
+    )
+    out = sessionize(df, gap_timeout_s=1800.0)
+    assert out.count() == n // per
+    assert out.filter(F.col("n_turns") != per).count() == 0
+    # every session spans exactly (per-1) seconds
+    span_bad = out.filter(
+        F.unix_micros("session_end") - F.unix_micros("session_start")
+        != (per - 1) * 1_000_000
+    ).count()
+    assert span_bad == 0

@@ -143,3 +143,42 @@ def test_multimodal_probe_and_frames(spark, media):
     frames = sample_frames(media.select("media_id", F.col("meta.duration_ms").alias("duration_ms")))
     pf = frames.toPandas()
     assert set(pf[pf.media_id == 0].frame_ms) == {0, 1000, 2000, 3000, 4000}
+
+
+def test_merge_batch_late_events():
+    """Out-of-order arrivals the watermark admits must extend the open
+    session with min/max bounds, never regress last_us or miss pre-start
+    extension; fully-past runs separated by > timeout close immediately."""
+    from gmql_spark.streaming.session_stream import _merge_batch
+
+    T = 120_000_000  # 120 s in us
+    s = lambda sec: sec * 1_000_000  # noqa: E731
+
+    # open session [1000, 1100]; late event at 1050 (inside span)
+    closed, new = _merge_batch(np.array([s(1050)]), (s(1000), s(1100), 5), T)
+    assert closed == [] and new == (s(1000), s(1100), 6)
+
+    # late event BEFORE start but within timeout: start moves earlier
+    closed, new = _merge_batch(np.array([s(950)]), (s(1000), s(1100), 5), T)
+    assert closed == [] and new == (s(950), s(1100), 6)
+
+    # late event before last_us must NOT shrink session_end: the 1200
+    # event (within timeout of last_us=1100) extends the end even though
+    # the batch also carries a late 1050 event
+    closed, new = _merge_batch(
+        np.array([s(1050), s(1200)]), (s(1000), s(1100), 5), T
+    )
+    assert closed == [] and new == (s(1000), s(1200), 7)
+
+    # a run entirely in the past, > timeout before the open session:
+    # closes immediately as its own historical session
+    closed, new = _merge_batch(
+        np.array([s(100), s(150)]), (s(1000), s(1100), 5), T
+    )
+    assert closed == [(s(100), s(150), 2)] and new == (s(1000), s(1100), 5)
+
+    # batch bridging two runs into the open session across a late gap
+    closed, new = _merge_batch(
+        np.array([s(700), s(800), s(900)]), (s(1000), s(1100), 5), T
+    )
+    assert closed == [] and new == (s(700), s(1100), 8)

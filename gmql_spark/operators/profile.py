@@ -13,15 +13,37 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def profile(df: DataFrame, key: str = "conv_id", ts: str = "ts") -> DataFrame:
-    """One-row exact profile (use ``approx=True`` cardinality at 100 TB
-    via approx_count_distinct if exactness is not required)."""
-    return df.agg(
+def profile(
+    df: DataFrame,
+    key: str = "conv_id",
+    ts: str = "ts",
+    text_col: str = "text",
+    approx: bool = False,
+) -> DataFrame:
+    """One-row profile: exact counts, key cardinality, event-time span,
+    and text-length stats when ``text_col`` is present (min/max/avg
+    length + total bytes — the reference's average-region-length
+    analogue). ``approx=True`` swaps the exact distinct for
+    approx_count_distinct — the right cardinality at 100 TB, where an
+    exact countDistinct is a full extra shuffle."""
+    card = (
+        F.approx_count_distinct(key) if approx else F.countDistinct(key)
+    ).alias("n_keys")
+    aggs = [
         F.count(F.lit(1)).alias("n_rows"),
-        F.countDistinct(key).alias("n_keys"),
+        card,
         F.min(ts).alias("min_ts"),
         F.max(ts).alias("max_ts"),
-    )
+    ]
+    if text_col in df.columns:
+        length = F.length(text_col)
+        aggs += [
+            F.min(length).alias("text_len_min"),
+            F.max(length).alias("text_len_max"),
+            F.avg(length).alias("text_len_avg"),
+            F.sum(length.cast("long")).alias("text_len_sum"),
+        ]
+    return df.agg(*aggs)
 
 
 def profile_per_key(df: DataFrame, key: str = "conv_id", ts: str = "ts") -> DataFrame:

@@ -504,6 +504,39 @@ def _op_order(dfs, st):
     return rank_per_key(dfs[0], keys, order)
 
 
+def _op_map(dfs, st):
+    """MAP (GenometricMap over arbitrary intervals): aggregate the
+    second input's events into the first input's intervals; zero-filled
+    counts for empty refs. Aggregate params are ``name: 'expr'`` pairs
+    over the joined event columns."""
+    from gmql_spark.operators.map_agg import map_intervals
+
+    reserved = ("key", "start", "end", "ts", "bucket")
+    keys = st.params.get("key", [])
+    keys = keys if isinstance(keys, list) else [keys]
+    aggs = [
+        F.expr(str(v)).alias(k) for k, v in st.params.items() if k not in reserved
+    ]
+    return map_intervals(
+        dfs[0], dfs[1], aggs=aggs, keys=keys,
+        ref_start=st.params.get("start", "start_ts"),
+        ref_end=st.params.get("end", "end_ts"),
+        ev_ts=st.params.get("ts", "ts"),
+        bucket_s=float(st.params.get("bucket", 3600.0)),
+    )
+
+
+def _op_semijoin(dfs, st):
+    """SEMIJOIN (SemiJoinMD.scala:20-80): keep first-input rows whose
+    key exists (``negate: false``) / does not exist (``negate: true``)
+    in the second input — left_semi / left_anti, never materializing the
+    key set on the driver."""
+    keys = st.params.get("key", ["conv_id"])
+    keys = keys if isinstance(keys, list) else [keys]
+    how = "left_anti" if st.params.get("negate", False) else "left_semi"
+    return dfs[0].join(dfs[1].select(*keys).distinct(), on=keys, how=how)
+
+
 def _op_merge(dfs, st):
     # MergeRD analogue: collapse all keys into a single global series by
     # re-keying to a constant (``MergeRD.scala:27-45``)
@@ -531,6 +564,9 @@ OPS: dict[str, tuple] = {
     "FLAT": (_op_cover, 1),
     "GROUP": (_op_group, 1),
     "ORDER": (_op_order, 1),
+    "MAP": (_op_map, 2),
+    "SEMIJOIN": (_op_semijoin, 2),
+    "PURGE": (_op_semijoin, 2),
     "DEDUP": (_op_dedup, 1),
     "COMPRESS": (_op_compress, 1),
     "MERGE": (_op_merge, 1),

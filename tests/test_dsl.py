@@ -208,3 +208,40 @@ def test_retention_statement(spark, raw, tmp_path):
     import datetime as _dt
     horizon = as_of - _dt.timedelta(days=3)
     assert all(d >= horizon for d in left_dates)
+
+
+def test_map_and_semijoin_statements(spark, raw):
+    from gmql_spark.operators.map_agg import map_intervals
+
+    iv = raw.filter("role = 'user'").select(
+        "conv_id", F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("interval 10 minutes")).alias("end_ts"),
+    ).distinct()
+    script = """
+        E = SELECT(role = 'assistant') T;
+        M = MAP(key: 'conv_id', n_chars: 'sum(length(text))') IV E;
+        MATERIALIZE M;
+    """
+    got = compile_script(spark, script, tables={"T": raw, "IV": iv}).materialized["M"]
+    exp = map_intervals(
+        iv, raw.filter("role = 'assistant'"),
+        aggs=[F.expr("sum(length(text))").alias("n_chars")], keys=["conv_id"],
+    )
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+    sj = compile_script(
+        spark,
+        "W = SELECT(tool = 'write_file') T; S = SEMIJOIN(key: 'conv_id') T W; MATERIALIZE S;",
+        tables={"T": raw},
+    ).materialized["S"]
+    writers = raw.filter("tool = 'write_file'").select("conv_id").distinct()
+    exp_sj = raw.join(writers, "conv_id", "left_semi")
+    assert sj.exceptAll(exp_sj).count() == 0 and exp_sj.exceptAll(sj).count() == 0
+    # negate = PURGE semantics (left_anti)
+    pg = compile_script(
+        spark,
+        "W = SELECT(tool = 'write_file') T; P = PURGE(key: 'conv_id', negate: true) T W; MATERIALIZE P;",
+        tables={"T": raw},
+    ).materialized["P"]
+    exp_pg = raw.join(writers, "conv_id", "left_anti")
+    assert pg.exceptAll(exp_pg).count() == 0 and exp_pg.exceptAll(pg).count() == 0

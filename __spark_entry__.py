@@ -447,6 +447,24 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "rank")
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5: corpus vectors assigned to their nearest
+    of 8 deterministic centroid cells, queries probe 3 cells, exact
+    cosine re-rank within them — the cell-partitioned ANN scale path
+    (complement of the LSH-bucketed one). Centroids are PCG64-seeded so
+    the oracle inlines identical literals."""
+    import numpy as np
+
+    from gmql_spark.operators.similarity import ivf_topk
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    cen = rng.standard_normal((8, 64))
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    out = ivf_topk(q, emb, cen, k=5, n_probe=3)
+    return out.select("query_id", "neighbor_id", "rank")
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup family, embedding
     modality): brute verification path over a bounded block; the LSH
@@ -679,6 +697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "cosine_topk": q_cosine_topk,
         "ann_topk": q_ann_topk,
+        "ivf_topk": q_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
         "frame_samples": q_frame_samples,
         "multimodal_features": q_multimodal_features,
@@ -803,6 +822,70 @@ def _ann_sql(n_planes: int = 8, n_tables: int = 2, dim: int = 64, seed: int = 7,
             SELECT DISTINCT query_id, neighbor_id
             FROM qsig JOIN csig ON qsig.tbl = csig.tbl AND qsig.bucket = csig.bucket
             WHERE query_id <> neighbor_id
+        ), scored AS (
+            SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS sim
+            FROM cands JOIN q USING (query_id) JOIN c USING (neighbor_id)
+        ), ranked AS (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+def _ivf_sql(n_cells: int = 8, dim: int = 64, seed: int = 11, n_probe: int = 3,
+             k: int = 5) -> str:
+    """DuckDB oracle for ``q_ivf_topk``: identical PCG64-seeded centroids
+    inlined as DOUBLE[] literals (with their norms as double literals, so
+    the cosine matches Spark's constant-folded ``|c|`` bit-for-bit);
+    corpus cell = first argmax, query probes = top n_probe cells with the
+    same (sim desc, cell asc) tie-break."""
+    import numpy as np
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    cen = rng.standard_normal((n_cells, dim))
+    vals = ",\n                   ".join(
+        f"({i + 1}, CAST([{', '.join(repr(float(x)) for x in cen[i])}] AS DOUBLE[]), "
+        f"{float(np.sqrt(cen[i] @ cen[i]))!r})"
+        for i in range(n_cells)
+    )
+    return f"""
+        WITH cen(cell, w, nrm) AS (
+            VALUES {vals}
+        ), q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < 20
+        ), c AS (
+            SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+            FROM embeddings
+        ), csim AS (
+            SELECT neighbor_id, cell,
+                   list_dot_product(cv, w) / (sqrt(list_dot_product(cv, cv)) * nrm) AS sim
+            FROM c CROSS JOIN cen
+        ), ccell AS (
+            SELECT neighbor_id, cell FROM (
+                SELECT neighbor_id, cell,
+                       row_number() OVER (PARTITION BY neighbor_id
+                                          ORDER BY sim DESC, cell ASC) AS rn
+                FROM csim
+            ) WHERE rn = 1
+        ), qsim AS (
+            SELECT query_id, cell,
+                   list_dot_product(qv, w) / (sqrt(list_dot_product(qv, qv)) * nrm) AS sim
+            FROM q CROSS JOIN cen
+        ), probed AS (
+            SELECT query_id, cell FROM (
+                SELECT query_id, cell,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, cell ASC) AS rn
+                FROM qsim
+            ) WHERE rn <= {n_probe}
+        ), cands AS (
+            SELECT p.query_id, cc.neighbor_id
+            FROM probed p JOIN ccell cc ON p.cell = cc.cell
+            WHERE p.query_id <> cc.neighbor_id
         ), scored AS (
             SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS sim
             FROM cands JOIN q USING (query_id) JOIN c USING (neighbor_id)
@@ -1217,6 +1300,7 @@ def oracle_sql() -> dict[str, str]:
             FROM best WHERE rn = 1
         """,
         "ann_topk": _ann_sql(),
+        "ivf_topk": _ivf_sql(),
         "cosine_topk": """
             WITH q AS (
                 SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

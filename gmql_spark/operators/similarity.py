@@ -12,6 +12,7 @@ import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from gmql_spark.operators.order import topk_per_key
 
@@ -129,6 +130,71 @@ def cosine_near_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b")
     )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: every corpus vector is assigned to
+    its nearest centroid cell (argmax cosine, ties to the lowest cell
+    index); each query probes its ``n_probe`` nearest cells and exact
+    cosine re-ranks within them. Candidates ∝ corpus/n_cells × n_probe
+    per query instead of |corpus|; recall misses only neighbors whose
+    cell the query does not probe.
+
+    ``centroids`` is a (n_cells, dim) numpy array — trained offline
+    (k-means or a seeded sample); inlined as literals so both the cell
+    assignment and the probe ranking stay JVM-side Catalyst expressions
+    (and a DuckDB oracle can inline the identical values).
+    """
+    import numpy as np
+
+    cen = np.asarray(centroids, dtype=np.float64)
+
+    def sims(vc):
+        cols = []
+        for c in cen:
+            w = F.array(*[F.lit(float(x)) for x in c])
+            cols.append(_dot(F.col(vc), w) / (
+                F.sqrt(_dot(F.col(vc), F.col(vc))) * float(np.sqrt(c @ c))
+            ))
+        return F.array(*cols)
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    c = c.withColumn("_sims", sims("_cv")).withColumn(
+        "cell", F.array_position(F.col("_sims"), F.array_max("_sims")).cast("int")
+    ).drop("_sims")
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    qcells = (
+        q.withColumn("_sims", sims("_qv"))
+        .select("query_id", "_qv", F.posexplode("_sims").alias("_i", "_sim"))
+        .withColumn("cell", F.col("_i") + 1)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_sim").desc(), F.col("cell").asc())
+    probed = (
+        qcells.withColumn("_pr", F.row_number().over(w))
+        .filter(F.col("_pr") <= n_probe)
+        .select("query_id", "_qv", "cell")
+    )
+    cands = probed.join(c, on="cell").filter(F.col("query_id") != F.col("neighbor_id"))
+    qn = F.sqrt(_dot(F.col("_qv"), F.col("_qv")))
+    cn = F.sqrt(_dot(F.col("_cv"), F.col("_cv")))
+    sim = _dot(F.col("_qv"), F.col("_cv")) / (qn * cn)
+    scored = cands.select("query_id", "neighbor_id", sim.alias("sim"))
+    out = topk_per_key(
+        scored,
+        keys=["query_id"],
+        order_by=[F.col("sim").desc(), F.col("neighbor_id").asc()],
+        k=k,
+        rank_col="rank",
+    )
+    return out.select("query_id", "neighbor_id", "rank", "sim")
 
 
 def lsh_bucket_topk(

@@ -16,7 +16,7 @@ def test_entry_contract_keys():
     rows_only = set(qs) - set(os_)
     assert rows_only == {"multimodal_features"}, rows_only
     assert all(n == n.lower() and " " not in n for n in qs)
-    assert len(qs) == 40 and len(os_) == 39
+    assert len(qs) >= 42 and len(os_) == len(qs) - 1
 
 
 def test_resolve_cover_param():

@@ -174,3 +174,23 @@ def test_textstats(docs):
     assert li.loc[40, "lang_pred"] == "de"
     fp = fingerprint(docs).toPandas()
     assert fp.loc[fp.doc_id == 0, "fingerprint"].iloc[0] == fp.loc[fp.doc_id == 1, "fingerprint"].iloc[0]
+
+
+def test_ivf_topk_recall_vs_brute(spark):
+    """IVF probe path: recall@5 vs brute-force must be high on random
+    vectors with 3-of-8 probed cells (misses only neighbors in
+    unprobed cells)."""
+    from gmql_spark.operators.similarity import cosine_topk, ivf_topk
+
+    rng = np.random.Generator(np.random.PCG64(21))
+    vecs = rng.standard_normal((300, 32))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter("vec_id < 15")
+    cen = rng.standard_normal((6, 32))
+
+    brute = {(r.query_id, r.neighbor_id) for r in cosine_topk(q, emb, k=5).collect()}
+    ivf = {(r.query_id, r.neighbor_id)
+           for r in ivf_topk(q, emb, cen, k=5, n_probe=3).collect()}
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.5, recall

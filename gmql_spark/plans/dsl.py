@@ -539,8 +539,13 @@ def _op_semijoin(dfs, st):
 
 def _op_merge(dfs, st):
     # MergeRD analogue: collapse all keys into a single global series by
-    # re-keying to a constant (``MergeRD.scala:27-45``)
-    return dfs[0].withColumn(st.params.get("key", "conv_id"), F.lit("_all"))
+    # re-keying to a constant (``MergeRD.scala:27-45``); with ``groupby``
+    # the reference's MERGE(groupBy: attr) variant — one merged series
+    # per attribute value (re-key to that column's value)
+    key = st.params.get("key", "conv_id")
+    if "groupby" in st.params:
+        return dfs[0].withColumn(key, F.col(str(st.params["groupby"])).cast("string"))
+    return dfs[0].withColumn(key, F.lit("_all"))
 
 
 # op -> (fn, n_inputs) ≙ the reference's per-operator arity checks

@@ -245,3 +245,22 @@ def test_map_and_semijoin_statements(spark, raw):
     ).materialized["P"]
     exp_pg = raw.join(writers, "conv_id", "left_anti")
     assert pg.exceptAll(exp_pg).count() == 0 and exp_pg.exceptAll(pg).count() == 0
+
+
+def test_merge_groupby_variant(spark, raw):
+    """MERGE(groupby: attr) = the reference's grouped merge: one merged
+    series per attribute value (re-key to the attr), feeding the same
+    downstream rollup as the global merge."""
+    script = """
+        M = MERGE(groupby: 'role') T;
+        R = ROLLUP(tier: '1h') M;
+        MATERIALIZE R;
+    """
+    got = compile_script(spark, script, tables={"T": raw}).materialized["R"]
+    from gmql_spark.operators.rollup import rollup
+
+    exp = rollup(raw.withColumn("conv_id", F.col("role").cast("string")), "1h")
+    assert got.count() == exp.count()
+    assert {r.conv_id for r in got.select("conv_id").distinct().collect()} == {
+        r.role for r in raw.select("role").distinct().collect()
+    }

@@ -35,6 +35,8 @@ BENCH_QUERIES = [
     "map_intervals",
     "dedup_exact",
     "cosine_topk",
+    "ann_topk",
+    "ivf_topk",
     "nearest_k",
     "interval_intersect",
     "summits",

@@ -149,3 +149,54 @@ def test_append_refuses_foreign_fact_table(spark, tmp_path, split_data):
     write_transcripts(b1, fact, n_buckets=2)
     with pytest.raises(RuntimeError, match="conv state"):
         append_transcripts(spark, b2, fact, n_buckets=2)
+
+
+def test_stream_ingest_equals_oneshot(spark, tmp_path, split_data):
+    """readStream -> foreachBatch(append + refresh): after draining the
+    source (two time-ordered files, one per micro-batch), every tier
+    equals the one-shot batch rollup bit-for-bit — the streaming face of
+    the incremental contract."""
+    import os
+    import shutil
+    import time
+
+    from gmql_spark.streaming.ingest_stream import stream_ingest
+
+    raw, b1, b2 = split_data
+    src = str(tmp_path / "ingest_src")
+    os.makedirs(src)
+
+    def write_one_file(df, name):
+        tmp = str(tmp_path / f"_stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        shutil.move(os.path.join(tmp, part), os.path.join(src, name))
+        shutil.rmtree(tmp)
+
+    write_one_file(b1, "b1.parquet")
+    time.sleep(1.1)  # file-source orders by modification time
+    write_one_file(b2, "b2.parquet")
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    fact = str(tmp_path / "ingest_fact")
+    out = str(tmp_path / "ingest_tiers")
+    q = stream_ingest(
+        stream, fact, out, checkpoint_dir=str(tmp_path / "ingest_ckpt"), n_buckets=4
+    )
+    q.awaitTermination(300)
+
+    expected = rollup_all_tiers(raw)
+    for tier in ("1m", "1h", "1d"):
+        got = _read_tier(spark, out, tier)
+        exp = (
+            expected[tier]
+            .toPandas()
+            .sort_values(["conv_id", "window_start"])
+            .reset_index(drop=True)
+        )
+        assert_pdf_equal(got, exp[got.columns], ["conv_id", "window_start"],
+                         float_cols=FLOATS)

@@ -32,6 +32,15 @@ SANCTIONED_BNLJ = {
     "cosine_near_pairs(method='lsh') is the scale path",
 }
 
+# Object aggregates sanctioned beyond tiny-frame map assembly: BAG/BAGD
+# ARE collection aggregates — collect_list/collect_set is their
+# definition (the reference builds the same bag on the JVM heap,
+# DefaultRegionsToRegionFactory.scala:127-170); output is O(group) by
+# contract and partial/final map-side combine still applies.
+SANCTIONED_OBJECT_AGG = {
+    "bag_aggregates": "BAG/BAGD = collect_list/collect_set by definition",
+}
+
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -58,7 +67,9 @@ def main() -> int:
             and "_cat" not in line
             and "_n" not in line
         ]
-        rep["unsanctioned_object_agg"] = bad_obj
+        rep["unsanctioned_object_agg"] = [] if name in SANCTIONED_OBJECT_AGG else bad_obj
+        if name in SANCTIONED_OBJECT_AGG and bad_obj:
+            rep["sanctioned_object_agg"] = SANCTIONED_OBJECT_AGG[name]
         audit[name] = rep
         flag = " !!" if (rep["cartesian"] or rep["bnlj"] or bad_obj) else ""
         print(f"{name}: {rep}{flag}", file=sys.stderr)

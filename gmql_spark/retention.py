@@ -64,3 +64,59 @@ def apply_retention(
         if os.path.exists(path):
             out[tier] = expire_partitions(path, keep, as_of=as_of, dry_run=dry_run)
     return out
+
+
+def compact_partitions(
+    spark,
+    table_path: str,
+    partition_col: str = "window_date",
+    min_files: int = 2,
+    partitions: list | None = None,
+) -> dict[str, int]:
+    """Rewrite fragmented table partitions into one file each — the
+    Iceberg ``rewrite_data_files`` (compaction) analogue for the
+    parquet-layout fallback. Incremental tier refreshes overwrite whole
+    date partitions so fragmentation there is bounded, but append-heavy
+    fact tables and frequent small refreshes accrete small files;
+    compaction is the standing maintenance job that keeps scan task
+    counts sane at warehouse scale.
+
+    Only partitions holding more than ``min_files`` parquet files are
+    rewritten (read -> hash-repartition on the partition column ->
+    dynamic partition overwrite of just those partitions, one
+    O(rewritten-partitions) job — never a full-table rewrite). Returns
+    {partition_value: files_before} for the rewritten partitions."""
+    import os as _os
+
+    from pyspark.sql import functions as _F
+
+    frag: dict[str, int] = {}
+    for entry in sorted(_os.listdir(table_path)):
+        if not entry.startswith(f"{partition_col}="):
+            continue
+        val = entry.split("=", 1)[1]
+        if partitions is not None and val not in {str(p) for p in partitions}:
+            continue
+        nfiles = sum(
+            1 for f in _os.listdir(_os.path.join(table_path, entry))
+            if f.endswith(".parquet")
+        )
+        if nfiles > min_files:
+            frag[val] = nfiles
+    if not frag:
+        return frag
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df = spark.read.parquet(table_path).filter(
+            _F.col(partition_col).isin(list(frag))
+        )
+        (
+            df.repartition(len(frag), partition_col)
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(table_path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+    return frag

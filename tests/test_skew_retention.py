@@ -110,3 +110,42 @@ def test_sessionize_hot_key(spark):
         != (per - 1) * 1_000_000
     ).count()
     assert span_bad == 0
+
+
+def test_compact_partitions(spark, tmp_path):
+    """Compaction rewrites fragmented date partitions into one file each
+    without changing the data, and leaves un-fragmented partitions'
+    files untouched."""
+    import os
+
+    from gmql_spark import datagen
+    from gmql_spark.retention import compact_partitions
+
+    raw = datagen.transcripts_spark(spark, n_conv=20)
+    path = str(tmp_path / "tier")
+    frag = raw.withColumn("window_date", F.to_date("ts")).repartition(8)
+    frag.write.mode("overwrite").partitionBy("window_date").parquet(path)
+
+    def files_per_part():
+        return {
+            d.split("=", 1)[1]: sum(
+                1 for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")
+            )
+            for d in os.listdir(path) if d.startswith("window_date=")
+        }
+
+    before_rows = spark.read.parquet(path).toPandas()
+    before = files_per_part()
+    assert any(v > 2 for v in before.values())
+    rewritten = compact_partitions(spark, path, min_files=2)
+    assert set(rewritten) == {k for k, v in before.items() if v > 2}
+    after = files_per_part()
+    assert all(after[k] == 1 for k in rewritten)
+    # untouched partitions keep their file counts
+    assert all(after[k] == v for k, v in before.items() if k not in rewritten)
+    after_rows = spark.read.parquet(path).toPandas()
+    key = ["conv_id", "turn_idx"]
+    pd.testing.assert_frame_equal(
+        before_rows.sort_values(key).reset_index(drop=True)[sorted(before_rows.columns)],
+        after_rows.sort_values(key).reset_index(drop=True)[sorted(after_rows.columns)],
+    )

@@ -200,3 +200,43 @@ def test_stream_ingest_equals_oneshot(spark, tmp_path, split_data):
         )
         assert_pdf_equal(got, exp[got.columns], ["conv_id", "window_start"],
                          float_cols=FLOATS)
+
+
+def test_state_read_prunes_to_batch_buckets(spark, tmp_path, split_data):
+    """A batch touching one conversation must read only that conv's
+    state bucket partition (PartitionFilters on conv_bucket), not the
+    whole state table."""
+    raw, b1, b2 = split_data
+    fact = str(tmp_path / "fact5")
+    append_transcripts(spark, b1, fact, n_buckets=4)
+
+    one_conv = b2.filter(
+        F.col("conv_id") == b2.select("conv_id").first().conv_id
+    )
+    # reproduce the pruned read the append performs
+    bucket = F.pmod(F.xxhash64(F.col("conv_id")), F.lit(4)).cast("int")
+    touched = [r.b for r in one_conv.select(bucket.alias("b")).distinct().collect()]
+    assert len(touched) == 1
+    state = read_conv_state(spark, fact).filter(F.col("conv_bucket").isin(touched))
+    plan = state._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "conv_bucket" in plan
+    # and the append itself stays exact for that conv
+    append_transcripts(spark, one_conv, fact, n_buckets=4)
+    stored = (
+        spark.read.parquet(fact)
+        .filter(F.col("conv_id") == one_conv.first().conv_id)
+        .select("conv_id", "turn_idx", "gap_us")
+    )
+    from gmql_spark.operators.rollup import with_gap_seconds
+
+    full = with_gap_seconds(
+        raw.filter(F.col("conv_id") == one_conv.first().conv_id)
+        .filter(F.col("ts") <= one_conv.agg(F.max("ts")).first()[0])
+        .select("conv_id", "turn_idx", "ts"),
+        order="turn_idx",
+    )
+    j = stored.join(
+        full.select("conv_id", "turn_idx", F.col("gap_us").alias("exp")), 
+        on=["conv_id", "turn_idx"],
+    )
+    assert j.filter(~F.col("gap_us").eqNullSafe(F.col("exp"))).count() == 0

@@ -537,6 +537,15 @@ def _op_semijoin(dfs, st):
     return dfs[0].join(dfs[1].select(*keys).distinct(), on=keys, how=how)
 
 
+def _op_profile(dfs, st):
+    """PROFILE (GMQL-Profiler analogue): one-row table profile, or
+    per-key stats with ``per_key: true``."""
+    from gmql_spark.operators.profile import profile, profile_per_key
+
+    fn = profile_per_key if st.params.get("per_key", False) else profile
+    return fn(dfs[0], key=st.params.get("key", "conv_id"), ts=st.params.get("ts", "ts"))
+
+
 def _op_merge(dfs, st):
     # MergeRD analogue: collapse all keys into a single global series by
     # re-keying to a constant (``MergeRD.scala:27-45``); with ``groupby``
@@ -570,6 +579,7 @@ OPS: dict[str, tuple] = {
     "GROUP": (_op_group, 1),
     "ORDER": (_op_order, 1),
     "MAP": (_op_map, 2),
+    "PROFILE": (_op_profile, 1),
     "SEMIJOIN": (_op_semijoin, 2),
     "PURGE": (_op_semijoin, 2),
     "DEDUP": (_op_dedup, 1),
@@ -609,6 +619,47 @@ def compile_script(
             from gmql_spark.sources.catalog import read_transcripts
 
             symbols[st.target] = read_transcripts(spark, st.params["path"])
+            continue
+        if st.op == "COMPACT":
+            # side-effecting maintenance statement: rewrite fragmented
+            # partitions; binds the {partition: files_before} report
+            from gmql_spark.retention import compact_partitions
+
+            rewritten = compact_partitions(
+                spark,
+                st.params["path"],
+                partition_col=st.params.get("partition", "window_date"),
+                min_files=int(st.params.get("min_files", 2)),
+            )
+            symbols[st.target] = spark.createDataFrame(
+                list(rewritten.items()) or [],
+                "partition string, files_before int",
+            )
+            continue
+        if st.op == "INGEST":
+            # batch ingest: exact-gap append of a source table into the
+            # fact table + per-date tier refresh (incremental module)
+            from gmql_spark.incremental import append_transcripts, refresh_tiers
+            from gmql_spark.sources.catalog import N_BUCKETS_DEFAULT
+
+            src_df = (
+                symbols[st.inputs[0]]
+                if st.inputs
+                else spark.read.parquet(st.params["src"])
+            )
+            tiers = st.params.get("tiers", ["1m", "1h", "1d"])
+            dates = append_transcripts(
+                spark, src_df, st.params["fact"],
+                n_buckets=int(st.params.get("buckets", N_BUCKETS_DEFAULT)),
+            )
+            rep = refresh_tiers(
+                spark, st.params["fact"], st.params["out"], dates,
+                tiers=tiers if isinstance(tiers, list) else [tiers],
+            )
+            symbols[st.target] = spark.createDataFrame(
+                [(t, n) for t, n in rep["rows"].items()],
+                "tier string, rows_refreshed long",
+            )
             continue
         if st.op == "RETENTION":
             # side-effecting statement (like MATERIALIZE): apply the

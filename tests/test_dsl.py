@@ -264,3 +264,52 @@ def test_merge_groupby_variant(spark, raw):
     assert {r.conv_id for r in got.select("conv_id").distinct().collect()} == {
         r.role for r in raw.select("role").distinct().collect()
     }
+
+
+def test_maintenance_statements(spark, raw, tmp_path):
+    """INGEST (exact-gap append + tier refresh), PROFILE, and COMPACT as
+    script statements — the full maintenance story scriptable."""
+    import os
+
+    fact = str(tmp_path / "wh_fact")
+    out = str(tmp_path / "wh_tiers")
+    script = f"""
+        I = INGEST(fact: '{fact}', out: '{out}', buckets: 4) T;
+        P = PROFILE(per_key: false) T;
+        MATERIALIZE I; MATERIALIZE P;
+    """
+    compiled = compile_script(spark, script, tables={"T": raw})
+    rep = {r.tier: r.rows_refreshed for r in compiled.materialized["I"].collect()}
+    assert set(rep) == {"1m", "1h", "1d"} and all(v > 0 for v in rep.values())
+    from gmql_spark.operators.rollup import rollup_all_tiers
+
+    exp = rollup_all_tiers(raw)
+    for tier in ("1m", "1h", "1d"):
+        got_n = spark.read.parquet(f"{out}/rollup_{tier}").count()
+        assert got_n == exp[tier].count(), tier
+    prof = compiled.materialized["P"].collect()[0]
+    assert prof.n_rows == raw.count()
+
+    # fragment a tier partition, then COMPACT it from a script
+    t1m = f"{out}/rollup_1m"
+    parts = [d for d in os.listdir(t1m) if d.startswith("window_date=")]
+    frag_before = {
+        d: sum(1 for f in os.listdir(os.path.join(t1m, d)) if f.endswith(".parquet"))
+        for d in parts
+    }
+    if not any(v > 2 for v in frag_before.values()):
+        df = spark.read.parquet(t1m).repartition(6)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        df.write.mode("overwrite").partitionBy("window_date").parquet(t1m)
+    c = compile_script(
+        spark,
+        f"C = COMPACT(path: '{t1m}', min_files: 2); MATERIALIZE C;",
+        tables={},
+    ).materialized["C"]
+    assert c.count() > 0
+    frag_after = {
+        d: sum(1 for f in os.listdir(os.path.join(t1m, d)) if f.endswith(".parquet"))
+        for d in os.listdir(t1m) if d.startswith("window_date=")
+    }
+    # nothing is left above the min_files threshold (<=2 untouched by design)
+    assert all(v <= 2 for v in frag_after.values())

@@ -661,6 +661,78 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_per_key(ev, key="user_id", ts="ts")
 
 
+def q_realtime_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-time continuous aggregate (realtime.serve_realtime): closed
+    1h windows served from a 1m→1h cascaded tier, windows past the
+    frozen watermark (mid-hour, 2024-01-21 00:30 — NOT grid-aligned, so
+    the straddling hour is recomputed whole) re-rolled from raw. The
+    oracle recomputes everything from raw; the routed union must
+    coincide exactly."""
+    import datetime as dt
+
+    from gmql_spark.operators.window_agg import cascade, window_rollup
+    from gmql_spark.realtime import serve_realtime
+
+    ev = _read(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,2)")
+    cols = ["user_id", "window_start", "window_end", "n", "val_sum", "val_min", "val_max"]
+
+    def hourly(df: DataFrame) -> DataFrame:
+        return window_rollup(
+            df,
+            "1 hour",
+            aggs=[
+                F.count(F.lit(1)).alias("n"),
+                F.sum(dec).cast("double").alias("val_sum"),
+                F.min("value").alias("val_min"),
+                F.max("value").alias("val_max"),
+            ],
+            keys=["user_id"],
+        ).select(*cols)
+
+    m1 = window_rollup(
+        ev,
+        "1 minute",
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec).alias("val_sum_dec"),
+            F.min("value").alias("val_min"),
+            F.max("value").alias("val_max"),
+        ],
+        keys=["user_id"],
+    )
+    tier_1h = cascade(
+        m1,
+        "1 hour",
+        aggs=[
+            F.sum("n").alias("n"),
+            F.sum("val_sum_dec").cast("double").alias("val_sum"),
+            F.min("val_min").alias("val_min"),
+            F.max("val_max").alias("val_max"),
+        ],
+        keys=["user_id"],
+    ).select(*cols)
+    frozen = dt.datetime(2024, 1, 21, 0, 30)
+    return serve_realtime(tier_1h, ev, frozen, "1h", hourly)
+
+
+def q_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable log₂ latency histogram (functions.sketches): per-user
+    1m histogram maps merged to 1h (exact bucket-count addition),
+    exploded long-form; oracle buckets raw gaps at 1h directly with the
+    same integer bit-length formula."""
+    from gmql_spark.functions.sketches import hist_cascade, hist_rollup
+    from gmql_spark.operators.rollup import with_gap_seconds
+
+    ev = _read(spark, sf_dir, "events")
+    g = with_gap_seconds(ev, key="user_id", order=["ts", "event_id"], ts="ts")
+    m1 = hist_rollup(g, "1m", keys=["user_id"], value_col="gap_us")
+    h1 = hist_cascade(m1, "1h", keys=["user_id"])
+    return h1.select(
+        "user_id", "window_start", F.explode("lat_hist").alias("bucket", "n")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: per-user 1-minute rollup."""
     return q_rollup_1m(spark, "/root/testdata/sf0.001")
@@ -711,6 +783,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_rollup": q_sliding_rollup,
         "sessions": q_sessions,
         "profile": q_profile,
+        "realtime_rollup": q_realtime_rollup,
+        "latency_histogram": q_latency_histogram,
     }
 
 
@@ -1464,5 +1538,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, e.user_id, e.value, thr.threshold
             FROM events e JOIN thr ON e.user_id = thr.user_id
             WHERE e.value >= thr.threshold
+        """,
+        # realtime routing must equal a plain full recompute at 1h grain
+        "realtime_rollup": """
+            SELECT user_id,
+                   time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                   time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+                   count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum,
+                   min(value) AS val_min,
+                   max(value) AS val_max
+            FROM events GROUP BY user_id, 2
+        """,
+        # same integer bit-length bucket formula as sketches.log2_bucket
+        "latency_histogram": """
+            WITH g AS (
+                SELECT user_id, ts,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER
+                           (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+                FROM events
+            )
+            SELECT user_id,
+                   time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                   CAST(CASE WHEN gap_us = 0 THEN -1
+                             ELSE length(to_base(gap_us, 2)) - 1 END AS INT) AS bucket,
+                   count(*) AS n
+            FROM g WHERE gap_us IS NOT NULL
+            GROUP BY 1, 2, 3
         """,
     }

@@ -40,6 +40,8 @@ BENCH_QUERIES = [
     "nearest_k",
     "interval_intersect",
     "summits",
+    "realtime_rollup",
+    "latency_histogram",
 ]
 
 

@@ -222,6 +222,8 @@ def refresh_tiers(
     so per-date recompute is exact."""
     from gmql_spark.operators.rollup import rollup, rollup_tier_from
 
+    from gmql_spark.realtime import record_refresh_watermark
+
     dates = sorted({str(d) for d in dates})
     raw = (
         spark.read.parquet(fact_path)
@@ -252,4 +254,11 @@ def refresh_tiers(
             stats[tier] = prev_df.count()
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
-    return {"dates": dates, "rows": stats}
+    # realtime watermark: the refreshed dates now reflect every raw row
+    # up to the max refreshed event ts (appends are time-ordered per the
+    # module contract, so later un-refreshed rows all lie past it)
+    wm_row = raw.agg(F.max(F.unix_micros(F.col(ts))).alias("wm")).collect()[0]
+    watermark_us = None
+    if wm_row.wm is not None:
+        watermark_us = record_refresh_watermark(out_dir, int(wm_row.wm))
+    return {"dates": dates, "rows": stats, "watermark_us": watermark_us}

@@ -85,6 +85,7 @@ def rollup(
     role_values: Sequence[str] | None = DEFAULT_ROLES,
     tool_values: Sequence[str] | None = None,
     with_gaps: bool = True,
+    with_sketches: bool = False,
 ) -> DataFrame:
     """Direct rollup of raw transcripts to one retention tier.
 
@@ -92,6 +93,14 @@ def rollup(
     role_counts/tool_counts (map<string,bigint>), exact latency
     percentiles p50/p95/p99 over inter-turn gaps, latency_cnt/sum,
     first_ts/last_ts.
+
+    ``with_sketches=True`` additionally stores two *mergeable* sketches
+    per tier row (``functions.sketches``): ``lat_hist`` (log₂ gap_us
+    histogram, exact tier→tier merge, bounded-error percentile
+    extraction) and ``tool_hll`` (HLL distinct-tool sketch). They let a
+    coarser tier answer percentile/distinct questions from the finer
+    tier alone — no raw re-scan, the expensive part of a tier build at
+    warehouse scale.
 
     Category histograms: known value lists compile to count_if columns
     (whole-stage codegen); None -> two-level plan (hash count per
@@ -141,7 +150,12 @@ def rollup(
     # exact percentiles via the rank plan (see percentiles_for_tier);
     # joined back at identical (key, window_start) grain — tier-sized join
     pct = percentiles_for_tier(df, tier, key=key, ts=ts, with_gaps=False)
-    return main.join(pct, on=[key, "window_start"], how="left").select(
+    main = main.join(pct, on=[key, "window_start"], how="left")
+    sketch_cols: list[str] = []
+    if with_sketches:
+        main = _join_sketches(main, df, tier, key=key, ts=ts)
+        sketch_cols = SKETCH_COLS
+    return main.select(
         key,
         "window_start",
         "window_end",
@@ -153,6 +167,32 @@ def rollup(
         "latency_sum_us",
         "first_ts",
         "last_ts",
+        *sketch_cols,
+    )
+
+
+SKETCH_COLS = ["lat_hist", "tool_hll"]
+
+
+def _join_sketches(
+    main: DataFrame, raw_g: DataFrame, tier: str, key: str, ts: str
+) -> DataFrame:
+    """Attach lat_hist + tool_hll at (key, window_start) grain; all
+    joins are tier-sized, left, with empty-sketch backfill (a window can
+    have turns but no gaps/tools)."""
+    from gmql_spark.functions.sketches import hist_rollup, hll_rollup
+
+    empty_hist = F.expr("cast(map() as map<int,bigint>)")
+    hist = hist_rollup(raw_g, tier, keys=[key], value_col="gap_us", ts=ts).drop(
+        "window_end"
+    )
+    hll = hll_rollup(raw_g, tier, col="tool", keys=[key], ts=ts, out="tool_hll").drop(
+        "window_end"
+    )
+    return (
+        main.join(hist, on=[key, "window_start"], how="left")
+        .join(hll, on=[key, "window_start"], how="left")
+        .withColumn("lat_hist", F.coalesce(F.col("lat_hist"), empty_hist))
     )
 
 
@@ -230,6 +270,22 @@ def cascade_rollup(finer: DataFrame, tier: str, key: str = "conv_id") -> DataFra
         out = out.join(cat, on=[key, "window_start"], how="left").withColumn(
             col, F.coalesce(F.col(col), empty_map)
         )
+    sketch_cols: list[str] = []
+    if "lat_hist" in finer.columns:
+        from gmql_spark.functions.sketches import hist_cascade, hll_cascade
+
+        empty_hist = F.expr("cast(map() as map<int,bigint>)")
+        hist = hist_cascade(finer, tier, keys=[key]).drop("window_end")
+        hll = hll_cascade(
+            finer.filter(F.col("tool_hll").isNotNull()), tier, keys=[key],
+            col="tool_hll",
+        ).drop("window_end")
+        out = (
+            out.join(hist, on=[key, "window_start"], how="left")
+            .join(hll, on=[key, "window_start"], how="left")
+            .withColumn("lat_hist", F.coalesce(F.col("lat_hist"), empty_hist))
+        )
+        sketch_cols = SKETCH_COLS
     return out.select(
         key,
         "window_start",
@@ -241,6 +297,7 @@ def cascade_rollup(finer: DataFrame, tier: str, key: str = "conv_id") -> DataFra
         "latency_sum_us",
         "first_ts",
         "last_ts",
+        *sketch_cols,
     )
 
 
@@ -379,6 +436,7 @@ def rollup_tier_from(
     merged = cascade_rollup(finer, tier, key=key)
     pct = percentiles_for_tier(raw, tier, key=key, ts=ts, with_gaps=with_gaps)
     out = merged.join(pct, on=[key, "window_start"], how="left")
+    sketch_cols = [c for c in SKETCH_COLS if c in merged.columns]
     return out.select(
         key,
         "window_start",
@@ -391,6 +449,7 @@ def rollup_tier_from(
         "latency_sum_us",
         "first_ts",
         "last_ts",
+        *sketch_cols,
     )
 
 
@@ -404,6 +463,7 @@ def rollup_all_tiers(
     cache_gaps: bool = False,
     persist_tiers: bool = False,
     return_gaps: bool = False,
+    with_sketches: bool = False,
 ):
     """The retention cascade raw → 1m → 1h → 1d. Gap column is computed
     once; the raw-with-gaps frame feeds the 1m rollup and each tier's
@@ -422,6 +482,7 @@ def rollup_all_tiers(
             out[t] = rollup(
                 raw_g, t, key=key, ts=ts, with_gaps=False,
                 role_values=role_values, tool_values=tool_values,
+                with_sketches=with_sketches,
             )
         else:
             out[t] = rollup_tier_from(out[prev], raw_g, t, key=key, ts=ts, with_gaps=False)

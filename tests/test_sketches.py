@@ -144,3 +144,45 @@ def test_hll_estimate_accuracy(spark):
     df = spark.range(100_000).select(F.concat(F.lit("u"), F.col("id")).alias("u"))
     est = df.agg(hll_estimate(F.hll_sketch_agg("u", F.lit(12))).alias("e")).collect()[0].e
     assert math.isclose(est, 100_000, rel_tol=0.02)
+
+
+def test_tier_pipeline_with_sketches(spark, gaps):
+    """rollup_all_tiers(with_sketches=True): every tier carries lat_hist
+    + tool_hll; the 1d sketches (built by two cascaded merges) equal the
+    sketches built directly from raw at 1d grain."""
+    from gmql_spark.operators.rollup import rollup_all_tiers
+
+    tiers = rollup_all_tiers(gaps, with_sketches=True)
+    for t in ("1m", "1h", "1d"):
+        assert {"lat_hist", "tool_hll"} <= set(tiers[t].columns)
+
+    got_hist = _long(tiers["1d"].select("conv_id", "window_start", "lat_hist"))
+    exp_hist = _long(hist_rollup(gaps, "1d"))
+    pd.testing.assert_frame_equal(got_hist, exp_hist)
+
+    got_hll = (
+        tiers["1d"]
+        .filter(F.col("tool_hll").isNotNull())
+        .select("conv_id", "window_start", hll_estimate(F.col("tool_hll")).alias("est"))
+        .toPandas()
+        .sort_values(["conv_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    exp_hll = (
+        hll_rollup(gaps, "1d", col="tool", keys=["conv_id"])
+        .select("conv_id", "window_start", hll_estimate(F.col("hll")).alias("est"))
+        .toPandas()
+        .sort_values(["conv_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got_hll, exp_hll)
+
+    # the sketch columns don't perturb the exact stats: same frame as
+    # the plain pipeline once sketches are dropped
+    plain = rollup_all_tiers(gaps)
+    a = tiers["1h"].drop("lat_hist", "tool_hll").toPandas()
+    b = plain["1h"].toPandas()
+    key = ["conv_id", "window_start"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns])

@@ -288,6 +288,7 @@ def _op_rollup(dfs, st):
         ts=st.params.get("ts", "ts"),
         role_values=roles if roles != "auto" else None,
         tool_values=st.params.get("tools"),
+        with_sketches=bool(st.params.get("sketches", False)),
     )
 
 
@@ -659,6 +660,24 @@ def compile_script(
             symbols[st.target] = spark.createDataFrame(
                 [(t, n) for t, n in rep["rows"].items()],
                 "tier string, rows_refreshed long",
+            )
+            continue
+        if st.op == "REALTIME":
+            # real-time continuous aggregate: materialized tier + raw
+            # tail past the recorded refresh watermark (realtime module)
+            import datetime as _dt
+
+            from gmql_spark.realtime import realtime_rollup
+
+            frozen = st.params.get("frozen")
+            symbols[st.target] = realtime_rollup(
+                spark,
+                st.params["fact"],
+                st.params["tiers"],
+                tier=st.params.get("tier", "1h"),
+                frozen_until=_dt.datetime.fromisoformat(frozen) if frozen else None,
+                key=st.params.get("key", "conv_id"),
+                ts=st.params.get("ts", "ts"),
             )
             continue
         if st.op == "RETENTION":

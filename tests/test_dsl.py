@@ -4,6 +4,7 @@ over the same plans, ``Translator.scala:311-393`` recast)."""
 
 from __future__ import annotations
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -313,3 +314,59 @@ def test_maintenance_statements(spark, raw, tmp_path):
     }
     # nothing is left above the min_files threshold (<=2 untouched by design)
     assert all(v <= 2 for v in frag_after.values())
+
+
+def test_realtime_statement(spark, raw, tmp_path):
+    """REALTIME lowers to realtime.realtime_rollup: stale tiers + raw
+    tail == the direct full rollup, from a script."""
+    from gmql_spark.incremental import append_transcripts, refresh_tiers
+    from gmql_spark.operators.rollup import rollup
+
+    fact, out = str(tmp_path / "rt_fact"), str(tmp_path / "rt_tiers")
+    lo, hi = raw.agg(F.min("ts"), F.max("ts")).collect()[0]
+    cut = lo + (hi - lo) / 2
+    b1 = raw.filter(F.col("ts") <= F.lit(cut))
+    b2 = raw.filter(F.col("ts") > F.lit(cut))
+    d1 = append_transcripts(spark, b1, fact, n_buckets=4)
+    refresh_tiers(spark, fact, out, dates=d1)
+    append_transcripts(spark, b2, fact, n_buckets=4)  # tiers now stale
+
+    got = compile_script(
+        spark,
+        f"R = REALTIME(fact: '{fact}', tiers: '{out}', tier: '1h'); MATERIALIZE R;",
+        tables={},
+    ).materialized["R"]
+    exp = rollup(raw, "1h")
+    cols = ["conv_id", "window_start", "turn_count", "latency_cnt", "latency_sum_us"]
+    g = got.select(cols).toPandas().sort_values(cols[:2]).reset_index(drop=True)
+    e = exp.select(cols).toPandas().sort_values(cols[:2]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, e)
+
+
+def test_rollup_sketches_param(spark, raw):
+    """ROLLUP(sketches: true) carries the mergeable sketch columns, and
+    CASCADE auto-merges them (column-presence driven)."""
+    compiled = compile_script(
+        spark,
+        """
+        M = ROLLUP(tier: '1m', sketches: true) T;
+        H = CASCADE(tier: '1h') M;
+        MATERIALIZE H;
+        """,
+        tables={"T": raw},
+    )
+    h = compiled.materialized["H"]
+    assert {"lat_hist", "tool_hll"} <= set(h.columns)
+    from gmql_spark.functions.sketches import hist_rollup
+    from gmql_spark.operators.rollup import with_gap_seconds
+
+    exp = hist_rollup(with_gap_seconds(raw), "1h")
+    got_long = (
+        h.select("conv_id", "window_start", F.explode("lat_hist").alias("b", "n"))
+        .toPandas().sort_values(["conv_id", "window_start", "b"]).reset_index(drop=True)
+    )
+    exp_long = (
+        exp.select("conv_id", "window_start", F.explode("lat_hist").alias("b", "n"))
+        .toPandas().sort_values(["conv_id", "window_start", "b"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got_long, exp_long)

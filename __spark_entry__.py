@@ -716,6 +716,37 @@ def q_realtime_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return serve_realtime(tier_1h, ev, frozen, "1h", hourly)
 
 
+def q_range_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-tier range stitch (realtime.stitch_range): an arbitrary
+    misaligned [start, end) answered from whole 1d tier rows + 1h/1m
+    edges + <2 min of raw (7-segment decomposition); oracle filters raw
+    directly. Exercises every segment shape at once."""
+    import datetime as dt
+
+    from gmql_spark.operators.window_agg import cascade, window_rollup
+    from gmql_spark.realtime import stitch_range
+
+    ev = _read(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,2)")
+    raw_aggs = [F.count(F.lit(1)).alias("n"), F.sum(dec).alias("val_sum_dec")]
+    merge_aggs = [F.sum("n").alias("n"), F.sum("val_sum_dec").alias("val_sum_dec")]
+    m1 = window_rollup(ev, "1 minute", aggs=raw_aggs, keys=["user_id"])
+    h1 = cascade(m1, "1 hour", aggs=merge_aggs, keys=["user_id"])
+    d1 = cascade(h1, "1 day", aggs=merge_aggs, keys=["user_id"])
+    out = stitch_range(
+        {"1m": m1, "1h": h1, "1d": d1},
+        ev,
+        dt.datetime(2024, 1, 3, 7, 41, 17),
+        dt.datetime(2024, 1, 29, 21, 5, 3),
+        keys=["user_id"],
+        raw_aggs=raw_aggs,
+        merge_aggs=merge_aggs,
+    )
+    return out.select(
+        "user_id", "n", F.col("val_sum_dec").cast("double").alias("val_sum")
+    )
+
+
 def q_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable log₂ latency histogram (functions.sketches): per-user
     1m histogram maps merged to 1h (exact bucket-count addition),
@@ -785,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile": q_profile,
         "realtime_rollup": q_realtime_rollup,
         "latency_histogram": q_latency_histogram,
+        "range_stitch": q_range_stitch,
     }
 
 
@@ -1549,6 +1581,15 @@ def oracle_sql() -> dict[str, str]:
                    min(value) AS val_min,
                    max(value) AS val_max
             FROM events GROUP BY user_id, 2
+        """,
+        # stitched multi-tier answer must equal the raw range filter
+        "range_stitch": """
+            SELECT user_id, count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-03 07:41:17'
+              AND ts <  TIMESTAMP '2024-01-29 21:05:03'
+            GROUP BY 1
         """,
         # same integer bit-length bucket formula as sketches.log2_bucket
         "latency_histogram": """

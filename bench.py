@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "summits",
     "realtime_rollup",
     "latency_histogram",
+    "range_stitch",
 ]
 
 

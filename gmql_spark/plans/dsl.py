@@ -680,6 +680,22 @@ def compile_script(
                 ts=st.params.get("ts", "ts"),
             )
             continue
+        if st.op == "STITCH":
+            # arbitrary-range aggregate stitched from the coarsest tiers
+            import datetime as _dt
+
+            from gmql_spark.realtime import stitch_transcripts
+
+            symbols[st.target] = stitch_transcripts(
+                spark,
+                st.params["fact"],
+                st.params["tiers"],
+                _dt.datetime.fromisoformat(st.params["start"]),
+                _dt.datetime.fromisoformat(st.params["end"]),
+                key=st.params.get("key", "conv_id"),
+                ts=st.params.get("ts", "ts"),
+            )
+            continue
         if st.op == "RETENTION":
             # side-effecting statement (like MATERIALIZE): apply the
             # per-tier expiry policy and bind the expired-partition

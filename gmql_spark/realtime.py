@@ -34,7 +34,7 @@ from __future__ import annotations
 import datetime as _dt
 import json
 import os
-from collections.abc import Callable
+from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -52,6 +52,106 @@ def floor_to_tier(t: _dt.datetime, tier: str) -> _dt.datetime:
     epoch = _dt.datetime(1970, 1, 1)
     secs = int((naive - epoch).total_seconds())
     return epoch + _dt.timedelta(seconds=(secs // step) * step)
+
+
+def ceil_to_tier(t: _dt.datetime, tier: str) -> _dt.datetime:
+    """Smallest Δ-grid point >= t."""
+    f = floor_to_tier(t, tier)
+    return f if f == t.replace(tzinfo=None) else f + _dt.timedelta(
+        seconds=TIER_SECONDS[tier]
+    )
+
+
+def decompose_range(
+    start: _dt.datetime, end: _dt.datetime
+) -> list[tuple[str, _dt.datetime, _dt.datetime]]:
+    """Split [start, end) into the maximal-coarseness tier segments:
+    raw up to the first minute boundary, 1m windows up to the first
+    hour, 1h up to the first day, whole 1d windows, then back down the
+    right edge. Every tier segment is aligned to its grain on both ends
+    (so tier windows with ``window_start`` in the segment lie wholly
+    inside it), the segments partition [start, end) exactly, and there
+    are at most 7 of them.
+
+    This is how a dashboard query over an arbitrary range touches
+    O(range/Δ_coarse) tier rows plus <2 minutes of raw instead of
+    re-scanning raw — the hierarchical-rollup stitch GMQL's MAP cannot
+    express (its STORE is terminal; no materialization algebra).
+    """
+    if end <= start:
+        return []
+    segs: list[tuple[str, _dt.datetime, _dt.datetime]] = []
+    t = start.replace(tzinfo=None)
+    end = end.replace(tzinfo=None)
+    # ascending left edge
+    for tier, coarser in (("raw", "1m"), ("1m", "1h"), ("1h", "1d")):
+        hi = ceil_to_tier(t, coarser)
+        if tier != "raw":
+            hi = min(hi, floor_to_tier(end, tier))
+        nxt = min(hi, end) if tier == "raw" else max(t, min(hi, end))
+        if t < nxt:
+            segs.append((tier, t, nxt))
+            t = nxt
+    # whole days
+    nxt = max(t, floor_to_tier(end, "1d"))
+    if t < nxt:
+        segs.append(("1d", t, nxt))
+        t = nxt
+    # descending right edge
+    for tier in ("1h", "1m"):
+        nxt = max(t, floor_to_tier(end, tier))
+        if t < nxt:
+            segs.append((tier, t, nxt))
+            t = nxt
+    if t < end:
+        segs.append(("raw", t, end))
+    return segs
+
+
+def stitch_range(
+    tier_dfs: dict[str, DataFrame],
+    raw: DataFrame,
+    start: _dt.datetime,
+    end: _dt.datetime,
+    keys: Sequence[str],
+    raw_aggs: Sequence,
+    merge_aggs: Sequence,
+    ts: str = "ts",
+) -> DataFrame:
+    """One aggregate row per key over an arbitrary [start, end) range,
+    stitched from the coarsest tiers that fit (``decompose_range``).
+
+    ``raw_aggs`` aggregate raw rows of the sub-minute edge segments;
+    ``merge_aggs`` re-aggregate tier rows (and the final union) — they
+    must be self-composable partials over their own output names
+    (sum/min/max/count-as-sum), e.g. ``F.sum("n").alias("n")``. Exact
+    for mergeable stats; percentiles want the lat_hist sketch columns.
+
+    Plan shape: each segment is a partition-prunable filter + partial
+    hash agg; the union is ≤7 tiny keyed frames re-aggregated once —
+    no raw scan beyond the two edge segments.
+    """
+    from functools import reduce
+
+    keys = list(keys)
+    parts: list[DataFrame] = []
+    for tier, s, e in decompose_range(start, end):
+        if tier == "raw":
+            seg = raw.filter((F.col(ts) >= F.lit(s)) & (F.col(ts) < F.lit(e)))
+            parts.append(seg.groupBy(*keys).agg(*raw_aggs))
+        else:
+            seg = tier_dfs[tier].filter(
+                (F.col("window_start") >= F.lit(s)) & (F.col("window_start") < F.lit(e))
+            )
+            parts.append(seg.groupBy(*keys).agg(*merge_aggs))
+    if not parts:
+        empty = raw.filter(F.lit(False))
+        return empty.groupBy(*keys).agg(*raw_aggs)
+    return (
+        reduce(lambda a, b: a.unionByName(b), parts)
+        .groupBy(*keys)
+        .agg(*merge_aggs)
+    )
 
 
 def serve_realtime(
@@ -77,6 +177,51 @@ def serve_realtime(
     served = tier_df.filter(F.col("window_end") <= F.lit(frozen_until))
     tail = recompute(raw.filter(F.col(ts) >= F.lit(boundary)))
     return served.unionByName(tail)
+
+
+def stitch_transcripts(
+    spark: SparkSession,
+    fact_path: str,
+    tiers_dir: str,
+    start: _dt.datetime,
+    end: _dt.datetime,
+    key: str = "conv_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """Transcript-schema stitch over materialized tiers: one row per
+    conversation with the mergeable stats (turn_count, latency_cnt/sum,
+    first/last ts) for an arbitrary [start, end).
+
+    Latency semantics match the tiers: each turn carries its
+    ingest-time ``gap_us`` (gap to the previous turn, which may precede
+    the range) — identical attribution on the tier and raw-edge sides,
+    so the stitch is exact vs a one-pass aggregate of fact rows in
+    range."""
+    tier_dfs = {}
+    for tier in ("1m", "1h", "1d"):
+        df = spark.read.parquet(f"{tiers_dir}/rollup_{tier}")
+        tier_dfs[tier] = df.drop(
+            *[c for c in ("window_date",) if c in df.columns]
+        )
+    raw = spark.read.parquet(fact_path)
+    raw_aggs = [
+        F.count(F.lit(1)).alias("turn_count"),
+        F.count("gap_us").alias("latency_cnt"),
+        F.sum("gap_us").alias("latency_sum_us"),
+        F.min(ts).alias("first_ts"),
+        F.max(ts).alias("last_ts"),
+    ]
+    merge_aggs = [
+        F.sum("turn_count").alias("turn_count"),
+        F.sum("latency_cnt").alias("latency_cnt"),
+        F.sum("latency_sum_us").alias("latency_sum_us"),
+        F.min("first_ts").alias("first_ts"),
+        F.max("last_ts").alias("last_ts"),
+    ]
+    return stitch_range(
+        tier_dfs, raw, start, end, keys=[key],
+        raw_aggs=raw_aggs, merge_aggs=merge_aggs, ts=ts,
+    )
 
 
 # ------------------------------------------------- materialized path

@@ -140,3 +140,163 @@ def test_serve_realtime_tail_filter_prunes(spark, tmp_path, split_data):
     tail = spark.read.parquet(fact).filter(F.col("ts") >= F.lit(boundary))
     plan = tail._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "GreaterThanOrEqual(ts" in plan
+
+
+# ------------------------------------------------- multi-tier stitch
+
+import datetime as _dt
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from gmql_spark.realtime import ceil_to_tier, decompose_range, stitch_range
+
+_EPOCH = _dt.datetime(2024, 1, 1)
+_ts_strategy = st.integers(min_value=0, max_value=40 * 86400).map(
+    lambda s: _EPOCH + _dt.timedelta(seconds=s)
+)
+_GRAIN = {"raw": 1, "1m": 60, "1h": 3600, "1d": 86400}
+
+
+@given(a=_ts_strategy, b=_ts_strategy)
+@settings(max_examples=300, deadline=None)
+def test_decompose_range_partitions_exactly(a, b):
+    start, end = min(a, b), max(a, b)
+    segs = decompose_range(start, end)
+    if start == end:
+        assert segs == []
+        return
+    # exact partition of [start, end), in order
+    assert segs[0][1] == start and segs[-1][2] == end
+    for (_, _, e0), (_, s1, _) in zip(segs, segs[1:]):
+        assert e0 == s1
+    assert len(segs) <= 7
+    for tier, s, e in segs:
+        assert s < e
+        step = _GRAIN[tier]
+        if tier != "raw":
+            # tier segments aligned to their grain on both ends
+            assert int((s - _EPOCH).total_seconds()) % step == 0
+            assert int((e - _EPOCH).total_seconds()) % step == 0
+        else:
+            # raw edges never span a full minute unnecessarily
+            assert (e - s).total_seconds() <= 120
+
+
+@given(a=_ts_strategy)
+@settings(max_examples=50, deadline=None)
+def test_decompose_aligned_day_range_is_one_segment(a):
+    s = _dt.datetime(2024, 1, 10)
+    segs = decompose_range(s, s + _dt.timedelta(days=3))
+    assert segs == [("1d", s, s + _dt.timedelta(days=3))]
+
+
+def test_ceil_to_tier():
+    assert ceil_to_tier(_dt.datetime(2024, 1, 1, 0, 0, 1), "1m") == _dt.datetime(
+        2024, 1, 1, 0, 1
+    )
+    assert ceil_to_tier(_dt.datetime(2024, 1, 1, 0, 1), "1m") == _dt.datetime(
+        2024, 1, 1, 0, 1
+    )
+
+
+@pytest.mark.parametrize(
+    "start,end",
+    [
+        (_dt.datetime(2024, 1, 3, 7, 41, 17), _dt.datetime(2024, 1, 29, 21, 5, 3)),
+        (_dt.datetime(2024, 1, 5), _dt.datetime(2024, 1, 9)),  # aligned days
+        (_dt.datetime(2024, 1, 5, 3, 0, 10), _dt.datetime(2024, 1, 5, 3, 0, 50)),  # sub-minute
+        (_dt.datetime(2024, 1, 5, 3, 10), _dt.datetime(2024, 1, 5, 17, 20)),  # same day
+    ],
+)
+def test_stitch_range_equals_direct(spark, split_data, start, end):
+    """Stitched tier aggregate over a misaligned range == direct raw
+    aggregate over the same range, for every decomposition shape."""
+    from gmql_spark.operators.window_agg import cascade, window_rollup
+
+    raw, _, _ = split_data
+    # shift the synthetic span onto the requested window: datagen spans
+    # its own dates, so re-anchor raw into Jan 2024
+    lo = raw.agg(F.min("ts")).collect()[0][0]
+    anchor = _dt.datetime(2024, 1, 1)
+    shifted = raw.withColumn(
+        "ts", F.timestamp_micros(
+            F.unix_micros("ts") - F.lit(int((lo - anchor).total_seconds()) * 1_000_000)
+        )
+    )
+
+    n = [F.count(F.lit(1)).alias("n")]
+    m1 = window_rollup(shifted, "1 minute", aggs=n, keys=["conv_id"])
+    h1 = cascade(m1, "1 hour", aggs=[F.sum("n").alias("n")], keys=["conv_id"])
+    d1 = cascade(h1, "1 day", aggs=[F.sum("n").alias("n")], keys=["conv_id"])
+    got = stitch_range(
+        {"1m": m1, "1h": h1, "1d": d1},
+        shifted,
+        start,
+        end,
+        keys=["conv_id"],
+        raw_aggs=n,
+        merge_aggs=[F.sum("n").alias("n")],
+    ).toPandas().sort_values("conv_id").reset_index(drop=True)
+    exp = (
+        shifted.filter((F.col("ts") >= F.lit(start)) & (F.col("ts") < F.lit(end)))
+        .groupBy("conv_id")
+        .agg(*n)
+        .toPandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_stitch_transcripts_materialized(spark, tmp_path, split_data):
+    """stitch_transcripts over materialized tiers == one-pass aggregate
+    of fact rows in range (ingest-time gap attribution on both sides);
+    also runs via the GSL STITCH statement."""
+    from gmql_spark.plans.dsl import compile_script
+    from gmql_spark.realtime import stitch_transcripts
+
+    raw, b1, b2 = split_data
+    fact, out = str(tmp_path / "fact_st"), str(tmp_path / "tiers_st")
+    d1 = append_transcripts(spark, b1, fact, n_buckets=4)
+    refresh_tiers(spark, fact, out, dates=d1)
+    d2 = append_transcripts(spark, b2, fact, n_buckets=4)
+    refresh_tiers(spark, fact, out, dates=d2)
+
+    lo, hi = raw.agg(F.min("ts"), F.max("ts")).collect()[0]
+    start = (lo + dt.timedelta(hours=3)).replace(second=17, microsecond=0)
+    end = (hi - dt.timedelta(hours=5)).replace(second=43, microsecond=0)
+
+    got = (
+        stitch_transcripts(spark, fact, out, start, end)
+        .toPandas().sort_values("conv_id").reset_index(drop=True)
+    )
+    fact_rows = spark.read.parquet(fact).filter(
+        (F.col("ts") >= F.lit(start)) & (F.col("ts") < F.lit(end))
+    )
+    exp = (
+        fact_rows.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("turn_count"),
+            F.count("gap_us").alias("latency_cnt"),
+            F.sum("gap_us").alias("latency_sum_us"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .toPandas().sort_values("conv_id").reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, exp[got.columns])
+
+    script = (
+        f"S = STITCH(fact: '{fact}', tiers: '{out}', "
+        f"start: '{start.isoformat()}', end: '{end.isoformat()}'); MATERIALIZE S;"
+    )
+    via_gsl = (
+        compile_script(spark, script, tables={}).materialized["S"]
+        .toPandas().sort_values("conv_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(via_gsl, got)

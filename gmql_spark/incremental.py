@@ -169,6 +169,27 @@ def append_transcripts(
         ]
         if len(touched) < n_buckets:
             state = state.filter(F.col("conv_bucket").isin(touched))
+        # enforce the ordered-append contract LOUDLY: a batch row at or
+        # before a conversation's recorded last_us would get a wrong
+        # (negative/garbage) cross-batch gap — the one-shot equivalence
+        # silently breaks. Late data must go through a rebuild instead.
+        # Cost: one tiny agg over the batch joined to pruned state.
+        late = (
+            new_df.groupBy(key)
+            .agg(F.min(F.unix_micros(F.col(ts))).alias("_min_us"))
+            .join(state.select(key, "last_us"), on=key, how="inner")
+            .filter(F.col("_min_us") <= F.col("last_us"))
+        )
+        n_late = late.count()
+        if n_late:
+            sample = [r[key] for r in late.select(key).limit(5).collect()]
+            raise RuntimeError(
+                f"append to {fact_path} violates the per-conversation "
+                f"time-ordered contract: {n_late} conversation(s) have batch "
+                f"rows at/before their recorded last timestamp (e.g. "
+                f"{sample}); cross-batch gap_us would be wrong. Rebuild the "
+                "affected conversations (or the table) instead of appending."
+            )
     batch = _with_cross_batch_gaps(new_df, state, key, ts, order)
 
     # 2. new immutable state version (conv_id -> max last_us), bucketed

@@ -18,14 +18,20 @@ FLOATS = (*PCT_NAMES, "latency_sum_us")
 @pytest.fixture(scope="module")
 def split_data(spark):
     """Full dataset + a 2-batch per-conversation-ordered split: batch 1 =
-    each conv's turns in the first half of the span, batch 2 = the rest
-    (so convs straddle the split and gap continuity is exercised)."""
+    each conversation's FIRST HALF of turns, batch 2 = the rest. A
+    global time cut does NOT make conversations straddle (datagen convs
+    are compact sessions), so split by per-conv turn_idx — every
+    multi-turn conversation straddles and cross-batch gap continuity is
+    genuinely exercised (asserted below)."""
+    from pyspark.sql.window import Window
+
     raw = datagen.transcripts_spark(spark, n_conv=50)
-    lo, hi = raw.agg(F.min("ts"), F.max("ts")).collect()[0]
-    cut = lo + (hi - lo) / 2
-    b1 = raw.filter(F.col("ts") <= F.lit(cut))
-    b2 = raw.filter(F.col("ts") > F.lit(cut))
-    assert b1.count() > 0 and b2.count() > 0
+    w = Window.partitionBy("conv_id")
+    half = raw.withColumn("_n", F.max("turn_idx").over(w))
+    b1 = half.filter(F.col("turn_idx") <= F.col("_n") / 2).drop("_n")
+    b2 = half.filter(F.col("turn_idx") > F.col("_n") / 2).drop("_n")
+    n_straddle = b1.select("conv_id").intersect(b2.select("conv_id")).count()
+    assert n_straddle > 0, "no conversation straddles the split"
     return raw, b1, b2
 
 
@@ -240,3 +246,27 @@ def test_state_read_prunes_to_batch_buckets(spark, tmp_path, split_data):
         on=["conv_id", "turn_idx"],
     )
     assert j.filter(~F.col("gap_us").eqNullSafe(F.col("exp"))).count() == 0
+
+
+def test_out_of_order_append_is_refused(spark, tmp_path, split_data):
+    """A batch with rows at/before a conversation's recorded last_us
+    violates the ordered-append contract and must fail loudly (silent
+    wrong gap_us would break one-shot equivalence). Appending the
+    batches in the wrong order trips it; the fact table and state stay
+    untouched."""
+    _, b1, b2 = split_data
+    fact = str(tmp_path / "fact_ooo")
+    append_transcripts(spark, b2, fact, n_buckets=4)  # later half first
+    state_before = read_conv_state(spark, fact).count()
+    with pytest.raises(RuntimeError, match="time-ordered contract"):
+        append_transcripts(spark, b1, fact, n_buckets=4)
+    # refused append left no INTENT marker and didn't touch state
+    assert read_conv_state(spark, fact).count() == state_before
+    append_transcripts(
+        spark,
+        b1.withColumn(
+            "ts", F.col("ts") + F.expr("INTERVAL 100 DAYS")
+        ),
+        fact,
+        n_buckets=4,
+    )  # a genuinely later batch still appends fine

@@ -377,6 +377,19 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, threshold=0.5, n=3)
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster grouping: connected components over the exact
+    trigram-Jaccard near-dup pairs (min-label propagation,
+    operators.dedup.dedup_components), singleton docs included; the
+    oracle is a recursive CTE reaching the same min-label fixpoint."""
+    from gmql_spark.operators.dedup import dedup_components, ngram_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5, n=3)
+    comp = dedup_components(pairs, nodes=docs.select(F.col("doc_id").alias("id_a")))
+    return comp.select(F.col("id").alias("doc_id"), "component")
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates, portable-md5 hash mode so the
     whole pipeline (signatures -> band buckets -> est_jaccard) is exactly
@@ -793,6 +806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_components": q_dedup_components,
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
         "fingerprint": q_fingerprint,
@@ -1348,6 +1362,40 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+        """,
+        "dedup_components": """
+            WITH RECURSIVE t AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                FROM documents WHERE doc_id < 2000
+            ), sh AS (
+                SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                FROM t, LATERAL (
+                    SELECT unnest(generate_series(1, len(w) - 2)) AS i
+                ) ix
+                WHERE len(w) >= 3
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+            ), common AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), p AS (
+                SELECT id_a, id_b FROM common
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE CAST(n_common AS DOUBLE)
+                      / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.5
+            ), edges AS (
+                SELECT id_a AS u, id_b AS v FROM p
+                UNION SELECT id_b, id_a FROM p
+            ), nodes AS (
+                SELECT DISTINCT doc_id AS id FROM documents WHERE doc_id < 2000
+            ), reach AS (
+                SELECT id, id AS comp FROM nodes
+                UNION
+                SELECT e.v AS id, r.comp FROM reach r JOIN edges e ON e.u = r.id
+            )
+            SELECT id AS doc_id, min(comp) AS component FROM reach GROUP BY 1
         """,
         "minhash_lsh": _minhash_sql(),
         "simhash_pairs": _simhash_sql(),

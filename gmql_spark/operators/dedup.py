@@ -262,3 +262,98 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def dedup_components(
+    pairs: DataFrame,
+    nodes: DataFrame | None = None,
+    a: str = "id_a",
+    b: str = "id_b",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Connected components over near-dup pairs: ``(id, component)``
+    with ``component = min id in the component`` — the grouping step
+    between pair generation (minhash/simhash/jaccard) and canonical-doc
+    selection. GMQL has no transitive operator at all; this is the
+    training-pipeline staple ("A~B, B~C ⇒ {A,B,C} are one duplicate
+    cluster").
+
+    Distributed min-label propagation: each round is one equi-join of
+    the symmetrized edge list against current labels + a min hash-agg —
+    all shuffles on the id, no driver data. Rounds = graph diameter
+    (near-dup clusters are shallow; bounded by ``max_rounds``). Per
+    round the lineage is truncated with ``localCheckpoint`` — plain
+    persist leaves the plan growing one join deeper per round until
+    plan stringification blows up (same lesson as nearest_k's radius
+    doubling). Convergence is detected by a changed-label count, an
+    O(1)-row action per round.
+
+    ``nodes`` (one id column named like ``a``) adds isolated documents
+    as singleton components; defaults to the ids appearing in pairs.
+    """
+    edges = (
+        pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .unionByName(pairs.select(F.col(b).alias("u"), F.col(a).alias("v")))
+        .distinct()
+    )
+    if nodes is None:
+        ids = edges.select(F.col("u").alias("id")).distinct()
+    else:
+        ids = nodes.select(F.col(a).alias("id")).distinct()
+    labels = ids.withColumn("component", F.col("id")).localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        neighbor_min = (
+            edges.join(
+                labels.select(F.col("id").alias("v"), F.col("component").alias("_nc")),
+                on="v",
+            )
+            .groupBy(F.col("u").alias("id"))
+            .agg(F.min("_nc").alias("_nmin"))
+        )
+        nxt = (
+            labels.join(neighbor_min, on="id", how="left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("_nmin"), F.col("component"))
+                ).alias("component"),
+                (F.coalesce(F.col("_nmin"), F.col("component")) < F.col("component"))
+                .alias("_chg"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = nxt.filter(F.col("_chg")).limit(1).count()
+        labels = nxt.drop("_chg")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"dedup_components did not converge in {max_rounds} rounds "
+            "(component diameter exceeds the bound); raise max_rounds"
+        )
+    return labels
+
+
+def canonical_docs(
+    docs: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Pick one canonical document per duplicate component: the longest
+    text (ties: min id), or by ``order_col`` descending. Docs without a
+    component row are their own canonical. Output: docs + ``component``
+    + ``is_canonical``."""
+    from pyspark.sql.window import Window
+
+    joined = docs.join(
+        components.withColumnRenamed("id", id_col), on=id_col, how="left"
+    ).withColumn("component", F.coalesce(F.col("component"), F.col(id_col)))
+    rank_by = (
+        F.col(order_col) if order_col is not None else F.length("text")
+    )
+    w = Window.partitionBy("component").orderBy(
+        rank_by.desc(), F.col(id_col).asc()
+    )
+    return joined.withColumn(
+        "is_canonical", F.row_number().over(w) == 1
+    )

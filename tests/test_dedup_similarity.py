@@ -194,3 +194,61 @@ def test_ivf_topk_recall_vs_brute(spark):
            for r in ivf_topk(q, emb, cen, k=5, n_probe=3).collect()}
     recall = len(brute & ivf) / len(brute)
     assert recall >= 0.5, recall
+
+
+def test_dedup_components_transitive_chain(spark):
+    """A~B, B~C, C~D (no direct A~D edge) must collapse into ONE
+    component labeled min(id); isolated nodes stay singletons; a long
+    chain still converges (diameter ~ rounds, localCheckpoint per
+    round)."""
+    from gmql_spark.operators.dedup import canonical_docs, dedup_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 99]], "id_a long")
+    got = {
+        r.id: r.component
+        for r in dedup_components(pairs, nodes=nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
+
+    # 25-hop chain: converges within the round bound
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(25)], "id_a long, id_b long"
+    )
+    comp = dedup_components(chain, max_rounds=40)
+    assert {r.component for r in comp.collect()} == {0}
+
+    # canonical pick: longest text wins, ties broken by min id
+    docs = spark.createDataFrame(
+        [
+            (1, "short"),
+            (2, "the longest text of the cluster"),
+            (3, "mid length"),
+            (4, "tiny"),
+            (10, "aaa"),
+            (11, "bbbb"),
+            (99, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    comps = dedup_components(pairs, nodes=nodes)
+    canon = canonical_docs(docs, comps)
+    keep = {r.doc_id for r in canon.filter("is_canonical").collect()}
+    assert keep == {2, 11, 99}
+    # every doc got a component and exactly one canonical per component
+    per_comp = canon.groupBy("component").agg(
+        F.sum(F.col("is_canonical").cast("int")).alias("n")
+    )
+    assert {r.n for r in per_comp.collect()} == {1}
+
+
+def test_dedup_components_nonconvergence_raises(spark):
+    from gmql_spark.operators.dedup import dedup_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_components(chain, max_rounds=3)

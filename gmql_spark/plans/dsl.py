@@ -429,6 +429,19 @@ def _op_dedup(dfs, st):
     raise GSLError(f"line {st.pos}: DEDUP mode must be exact|minhash")
 
 
+def _op_components(dfs, st):
+    """Duplicate-cluster grouping over a pair table (COMPONENTS, 1
+    input = near-dup pairs, e.g. a DEDUP(mode: 'minhash') result)."""
+    from gmql_spark.operators.dedup import dedup_components
+
+    return dedup_components(
+        dfs[0],
+        a=st.params.get("a", "id_a"),
+        b=st.params.get("b", "id_b"),
+        max_rounds=int(st.params.get("max_rounds", 50)),
+    )
+
+
 def _op_compress(dfs, st):
     from gmql_spark.compression.gorilla import compress_series
 
@@ -584,6 +597,7 @@ OPS: dict[str, tuple] = {
     "SEMIJOIN": (_op_semijoin, 2),
     "PURGE": (_op_semijoin, 2),
     "DEDUP": (_op_dedup, 1),
+    "COMPONENTS": (_op_components, 1),
     "COMPRESS": (_op_compress, 1),
     "MERGE": (_op_merge, 1),
     "SESSIONIZE": (_op_sessionize, 1),

@@ -370,3 +370,17 @@ def test_rollup_sketches_param(spark, raw):
         .toPandas().sort_values(["conv_id", "window_start", "b"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got_long, exp_long)
+
+
+def test_components_statement(spark):
+    """COMPONENTS groups a pair table into duplicate clusters (min-id
+    labels), script == direct call."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+    )
+    got = compile_script(
+        spark, "C = COMPONENTS() P; MATERIALIZE C;", tables={"P": pairs}
+    ).materialized["C"]
+    assert {(r.id, r.component) for r in got.collect()} == {
+        (1, 1), (2, 1), (3, 1), (7, 7), (8, 7),
+    }

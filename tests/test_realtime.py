@@ -300,3 +300,15 @@ def test_stitch_transcripts_materialized(spark, tmp_path, split_data):
         .toPandas().sort_values("conv_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(via_gsl, got)
+
+
+def test_stitch_range_empty_and_tiny(spark, split_data):
+    """start == end yields zero rows; a range inside one minute hits the
+    raw-only path."""
+    raw, _, _ = split_data
+    t0 = raw.agg(F.min("ts")).collect()[0][0]
+    n = [F.count(F.lit(1)).alias("n")]
+    out = stitch_range({}, raw, t0, t0, keys=["conv_id"], raw_aggs=n, merge_aggs=n)
+    assert out.count() == 0
+    segs = decompose_range(t0, t0)
+    assert segs == []

@@ -56,6 +56,7 @@ from pyspark.sql.window import Window
 from gmql_spark.sources.catalog import N_BUCKETS_DEFAULT, write_transcripts
 
 STATE_DIR = "_conv_state"
+APPEND_LOG = "_append_log.jsonl"
 
 
 def _state_root(fact_path: str) -> str:
@@ -71,12 +72,57 @@ def _intent_file(root: str) -> str:
     return f"{root}/INTENT"
 
 
-def _current_version(root: str) -> str | None:
+def _read_pointer(root: str) -> dict | None:
+    """CURRENT pointer contents: {"version": ..., "n_buckets": ...}.
+    (Legacy plain-version-string files are parsed for compatibility.)"""
     cur = _current_file(root)
     if not os.path.exists(cur):
         return None
     with open(cur) as f:
-        return f.read().strip() or None
+        raw = f.read().strip()
+    if not raw:
+        return None
+    if raw.startswith("{"):
+        return json.loads(raw)
+    return {"version": raw, "n_buckets": None}
+
+
+def _current_version(root: str) -> str | None:
+    ptr = _read_pointer(root)
+    return ptr["version"] if ptr else None
+
+
+def read_append_log(fact_path: str) -> list[dict]:
+    """The per-append manifest: one line per committed append with
+    {"version", "min_us", "max_us"} of the batch's event times. O(1)
+    bytes per append; this is what makes a SOUND realtime watermark
+    possible without forcing globally time-ordered ingest (see
+    ``pending_append_min_us``)."""
+    path = f"{_state_root(fact_path)}/{APPEND_LOG}"
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def pending_append_min_us(fact_path: str, covered_version: str | None) -> int | None:
+    """Min event ts (µs) over appends NOT yet covered by a tier refresh
+    (version strictly greater than ``covered_version``; None covers
+    nothing). Returns None when no append is pending.
+
+    Soundness: append_transcripts only guarantees PER-CONVERSATION
+    ordering, so a new or lagging conversation may land rows below the
+    refresh-time global max ts. Every un-refreshed row's ts is >= this
+    value by construction, so clamping the serving watermark to it
+    restores the realtime contract (every un-reflected raw row has
+    ts >= frozen_until) without constraining ingest order."""
+    mins = [
+        e["min_us"]
+        for e in read_append_log(fact_path)
+        if e.get("min_us") is not None
+        and (covered_version is None or e["version"] > covered_version)
+    ]
+    return min(mins) if mins else None
 
 
 def read_conv_state(spark: SparkSession, fact_path: str) -> DataFrame | None:
@@ -150,7 +196,16 @@ def append_transcripts(
             "may disagree — rebuild the table (or restore the marker's "
             "pre-append state) before appending again"
         )
-    cur = _current_version(root)
+    ptr = _read_pointer(root)
+    cur = ptr["version"] if ptr else None
+    if ptr is not None and ptr.get("n_buckets") not in (None, n_buckets):
+        raise ValueError(
+            f"append to {fact_path} with n_buckets={n_buckets} but the table "
+            f"was built with n_buckets={ptr['n_buckets']}: touched-bucket "
+            "pruning and the fact layout would silently disagree with the "
+            "state table's conv_bucket. Pass the original n_buckets (or "
+            "rebuild the table to re-bucket)."
+        )
     state = read_conv_state(spark, fact_path)
     if state is None and os.path.exists(fact_path):
         if any(e.startswith("conv_bucket=") for e in os.listdir(fact_path)):
@@ -194,6 +249,7 @@ def append_transcripts(
 
     # 2. new immutable state version (conv_id -> max last_us), bucketed
     us = F.unix_micros(F.col(ts))
+    lo_hi = new_df.agg(F.min(us).alias("lo"), F.max(us).alias("hi")).collect()[0]
     batch_state = new_df.groupBy(key).agg(F.max(us).alias("last_us"))
     merged = (
         read_conv_state(spark, fact_path)  # unpruned
@@ -217,8 +273,21 @@ def append_transcripts(
     )
     ptr_tmp = _current_file(root) + ".tmp"
     with open(ptr_tmp, "w") as f:
-        f.write(next_v)
+        json.dump({"version": next_v, "n_buckets": n_buckets}, f)
     os.replace(ptr_tmp, _current_file(root))
+    # per-append manifest line (still INTENT-bracketed: a crash before
+    # this line is detected loudly on the next append)
+    with open(f"{root}/{APPEND_LOG}", "a") as f:
+        f.write(
+            json.dumps(
+                {
+                    "version": next_v,
+                    "min_us": int(lo_hi.lo) if lo_hi.lo is not None else None,
+                    "max_us": int(lo_hi.hi) if lo_hi.hi is not None else None,
+                }
+            )
+            + "\n"
+        )
     os.remove(_intent_file(root))
     if cur is not None:  # old version no longer referenced
         shutil.rmtree(f"{root}/{cur}", ignore_errors=True)
@@ -245,6 +314,10 @@ def refresh_tiers(
 
     from gmql_spark.realtime import record_refresh_watermark
 
+    # the state version this refresh covers: any append committed after
+    # this point is "pending" for realtime-serving purposes (its batch
+    # min ts clamps the effective watermark — see pending_append_min_us)
+    covered = _current_version(_state_root(fact_path))
     dates = sorted({str(d) for d in dates})
     raw = (
         spark.read.parquet(fact_path)
@@ -276,10 +349,15 @@ def refresh_tiers(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
     # realtime watermark: the refreshed dates now reflect every raw row
-    # up to the max refreshed event ts (appends are time-ordered per the
-    # module contract, so later un-refreshed rows all lie past it)
+    # up to the max refreshed event ts. Appends are only per-conversation
+    # ordered, so a LATER append may still land rows below this value —
+    # that's why the covered state version is recorded alongside it and
+    # realtime_rollup clamps the serving watermark by the min event ts of
+    # any append past ``covered`` (pending_append_min_us).
     wm_row = raw.agg(F.max(F.unix_micros(F.col(ts))).alias("wm")).collect()[0]
     watermark_us = None
     if wm_row.wm is not None:
-        watermark_us = record_refresh_watermark(out_dir, int(wm_row.wm))
+        watermark_us = record_refresh_watermark(
+            out_dir, int(wm_row.wm), covered_version=covered
+        )
     return {"dates": dates, "rows": stats, "watermark_us": watermark_us}

@@ -12,10 +12,16 @@ retention tiers). A range query at tier grain Δ is answered as
 which is exact — tumbling windows partition the time axis on the Δ
 grid, so every raw row lands in exactly one of the two branches —
 under the standard watermark contract: every raw row NOT yet reflected
-in the tier has ``ts >= frozen_until``. ``refresh_tiers`` records that
-watermark (max event ts covered by any refresh) in a tiny manifest;
-``append_transcripts`` keeps appends per-conversation time-ordered, so
-the contract holds for the incremental ingest path by construction.
+in the tier has ``ts >= frozen_until``. ``refresh_tiers`` records the
+refresh-time max event ts plus the fact-state version it covered in a
+tiny manifest. That max alone is NOT a sound serving watermark:
+``append_transcripts`` only enforces PER-CONVERSATION ordering, so a
+new or lagging conversation appended after the refresh can land rows
+below it. ``realtime_rollup`` therefore clamps the effective
+``frozen_until`` to the min event ts of any append committed past the
+covered version (``incremental.pending_append_min_us``) — every
+un-reflected row has ts >= that clamp by construction, restoring the
+contract without constraining ingest order.
 
 Why this matters at scale: the tier is ~10³–10⁵× smaller than raw, and
 the tail recompute scans at most one Δ of raw (partition-pruned by
@@ -226,26 +232,44 @@ def stitch_transcripts(
 
 # ------------------------------------------------- materialized path
 
-def record_refresh_watermark(out_dir: str, watermark_us: int) -> int:
-    """Advance (never regress) the tiers' refresh watermark; returns the
-    recorded value. Called by ``incremental.refresh_tiers``."""
+def record_refresh_watermark(
+    out_dir: str, watermark_us: int, covered_version: str | None = None
+) -> int:
+    """Advance (never regress) the tiers' refresh watermark and the
+    fact-state version it covers; returns the recorded watermark.
+    Called by ``incremental.refresh_tiers``."""
     os.makedirs(out_dir, exist_ok=True)
     path = f"{out_dir}/{_WATERMARK_FILE}"
-    prev = read_refresh_watermark(out_dir)
-    wm = max(watermark_us, prev if prev is not None else watermark_us)
+    prev = read_refresh_manifest(out_dir) or {}
+    wm = max(watermark_us, prev.get("watermark_us") or watermark_us)
+    versions = [v for v in (prev.get("covered_version"), covered_version) if v]
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"watermark_us": wm}, f)
+        json.dump(
+            {
+                "watermark_us": wm,
+                "covered_version": max(versions) if versions else None,
+            },
+            f,
+        )
     os.replace(tmp, path)
     return wm
 
 
-def read_refresh_watermark(out_dir: str) -> int | None:
+def read_refresh_manifest(out_dir: str) -> dict | None:
+    """{"watermark_us": int, "covered_version": str | None} or None."""
     path = f"{out_dir}/{_WATERMARK_FILE}"
     if not os.path.exists(path):
         return None
     with open(path) as f:
-        return json.load(f)["watermark_us"]
+        man = json.load(f)
+    man.setdefault("covered_version", None)
+    return man
+
+
+def read_refresh_watermark(out_dir: str) -> int | None:
+    man = read_refresh_manifest(out_dir)
+    return man["watermark_us"] if man else None
 
 
 def realtime_rollup(
@@ -262,22 +286,33 @@ def realtime_rollup(
     when the materialized tiers are stale (appends since the last
     ``refresh_tiers``).
 
-    ``frozen_until`` defaults to the tiers' recorded refresh watermark.
-    The raw tail is read with the stored ingest-time ``gap_us`` (the
-    incremental fact layout), so cross-boundary latency gaps are exact
-    without any raw-scale window pass; if the fact table lacks
+    ``frozen_until`` defaults to the tiers' recorded refresh watermark
+    CLAMPED by the min event ts of any append not yet covered by a
+    refresh (``incremental.pending_append_min_us``) — the sound serving
+    boundary when ingest is only per-conversation ordered (a lagging or
+    brand-new conversation may append rows below the refresh-time max).
+    Passing ``frozen_until`` explicitly bypasses the clamp; the caller
+    then owns the contract that the tier reflects every raw row below
+    it. The raw tail is read with the stored ingest-time ``gap_us``
+    (the incremental fact layout), so cross-boundary latency gaps are
+    exact without any raw-scale window pass; if the fact table lacks
     ``gap_us`` the gaps are derived over the full raw first (exact, one
     extra shuffle) before the tail filter.
     """
+    from gmql_spark.incremental import pending_append_min_us
     from gmql_spark.operators.rollup import rollup, with_gap_seconds
 
-    wm = read_refresh_watermark(tiers_dir)
+    man = read_refresh_manifest(tiers_dir)
     if frozen_until is None:
-        if wm is None:
+        if man is None:
             raise ValueError(
                 f"no refresh watermark recorded under {tiers_dir} and no "
                 "frozen_until given — refresh_tiers has never run"
             )
+        wm = man["watermark_us"]
+        pending = pending_append_min_us(fact_path, man["covered_version"])
+        if pending is not None:
+            wm = min(wm, pending)
         frozen_until = _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=wm)
 
     tier_df = spark.read.parquet(f"{tiers_dir}/rollup_{tier}")

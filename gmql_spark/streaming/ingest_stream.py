@@ -19,7 +19,12 @@ append's INTENT protocol rather than silently double-ingested).
 Ordering contract (inherited from ``append_transcripts``): batches must
 arrive per-conversation time-ordered — the natural transcript ingest
 order (a conversation's turns are produced monotonically). Out-of-order
-backfills go through the batch rebuild path.
+backfills go through the batch rebuild path. Note this does NOT imply
+global time order across conversations: a batch may land rows below the
+previous refresh's max event ts (a new or lagging conversation), which
+is why realtime serving clamps its watermark by the pending appends'
+min ts (``incremental.pending_append_min_us``) rather than trusting
+the refresh-time max alone.
 """
 
 from __future__ import annotations

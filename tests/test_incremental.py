@@ -270,3 +270,16 @@ def test_out_of_order_append_is_refused(spark, tmp_path, split_data):
         fact,
         n_buckets=4,
     )  # a genuinely later batch still appends fine
+
+
+def test_append_refuses_n_buckets_mismatch(spark, tmp_path, split_data):
+    """The fact layout and state pruning hash with n_buckets; a second
+    append with a different value must fail loudly, not silently prune
+    away existing conversations' state."""
+    _, b1, b2 = split_data
+    fact = str(tmp_path / "fact_nb")
+    append_transcripts(spark, b1, fact, n_buckets=4)
+    with pytest.raises(ValueError, match="n_buckets"):
+        append_transcripts(spark, b2, fact, n_buckets=8)
+    # the original value still works
+    append_transcripts(spark, b2, fact, n_buckets=4)

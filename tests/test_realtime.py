@@ -312,3 +312,63 @@ def test_stitch_range_empty_and_tiny(spark, split_data):
     assert out.count() == 0
     segs = decompose_range(t0, t0)
     assert segs == []
+
+
+# --------------------------------------- watermark soundness (round 4)
+
+
+def test_realtime_exact_with_late_new_conversation(spark, tmp_path, split_data):
+    """A conversation appended AFTER the refresh whose rows lie below
+    the refresh-time max event ts (per-conversation ordering allows
+    this: it's a brand-new conv). The naive watermark (refresh max)
+    would drop its early rows from both branches; the pending-append
+    clamp must keep the query exact."""
+    from gmql_spark.incremental import pending_append_min_us
+    from gmql_spark.realtime import read_refresh_manifest
+
+    raw, _, _ = split_data
+    held = raw.select("conv_id").distinct().orderBy("conv_id").limit(1)
+    held_id = held.collect()[0][0]
+    b_main = raw.filter(F.col("conv_id") != held_id)
+    b_late = raw.filter(F.col("conv_id") == held_id)
+    fact, out = str(tmp_path / "fact_late"), str(tmp_path / "tiers_late")
+
+    d1 = append_transcripts(spark, b_main, fact, n_buckets=4)
+    refresh_tiers(spark, fact, out, dates=d1)
+    wm_naive = read_refresh_watermark(out)
+    append_transcripts(spark, b_late, fact, n_buckets=4)  # no refresh
+
+    late_min = b_late.agg(F.min(F.unix_micros("ts"))).collect()[0][0]
+    assert late_min < wm_naive, "fixture must exercise the unsound case"
+    man = read_refresh_manifest(out)
+    assert pending_append_min_us(fact, man["covered_version"]) == late_min
+
+    for tier in ("1m", "1h"):
+        got = _pdf(realtime_rollup(spark, fact, out, tier=tier))
+        exp = _pdf(rollup(raw, tier))
+        assert_pdf_equal(
+            got, exp[got.columns], ["conv_id", "window_start"], float_cols=FLOATS
+        )
+
+
+def test_pending_clamp_releases_after_refresh(spark, tmp_path, split_data):
+    """After the late batch IS refreshed, the clamp clears (no pending
+    appends past the covered version) and the tier serves again."""
+    from gmql_spark.incremental import pending_append_min_us
+    from gmql_spark.realtime import read_refresh_manifest
+
+    raw, _, _ = split_data
+    held_id = raw.select("conv_id").distinct().orderBy("conv_id").limit(1).collect()[0][0]
+    fact, out = str(tmp_path / "fact_rel"), str(tmp_path / "tiers_rel")
+    d1 = append_transcripts(spark, raw.filter(F.col("conv_id") != held_id), fact, n_buckets=4)
+    refresh_tiers(spark, fact, out, dates=d1)
+    d2 = append_transcripts(spark, raw.filter(F.col("conv_id") == held_id), fact, n_buckets=4)
+    refresh_tiers(spark, fact, out, dates=d2)
+
+    man = read_refresh_manifest(out)
+    assert pending_append_min_us(fact, man["covered_version"]) is None
+    got = _pdf(realtime_rollup(spark, fact, out, tier="1h"))
+    exp = _pdf(rollup(raw, "1h"))
+    assert_pdf_equal(
+        got, exp[got.columns], ["conv_id", "window_start"], float_cols=FLOATS
+    )

@@ -71,7 +71,11 @@ def main() -> int:
         if name in SANCTIONED_OBJECT_AGG and bad_obj:
             rep["sanctioned_object_agg"] = SANCTIONED_OBJECT_AGG[name]
         audit[name] = rep
-        flag = " !!" if (rep["cartesian"] or rep["bnlj"] or bad_obj) else ""
+        flag = " !!" if (
+            rep["cartesian"]
+            or (rep["bnlj"] and name not in SANCTIONED_BNLJ)
+            or rep["unsanctioned_object_agg"]
+        ) else ""
         print(f"{name}: {rep}{flag}", file=sys.stderr)
 
     bad = {

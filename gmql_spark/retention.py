@@ -82,13 +82,20 @@ def compact_partitions(
     counts sane at warehouse scale.
 
     Only partitions holding more than ``min_files`` parquet files are
-    rewritten (read -> hash-repartition on the partition column ->
-    dynamic partition overwrite of just those partitions, one
-    O(rewritten-partitions) job — never a full-table rewrite). Returns
+    rewritten, ONE partition at a time via a staged swap: the compacted
+    file is fully written to an underscore-prefixed staging dir
+    (invisible to Spark's reader), then the old leaf dir is renamed
+    aside and the staged dir renamed into place — so the table is never
+    read-and-overwritten in the same job (self-overwrite at job commit
+    is non-atomic and version/config-sensitive) and a crash can never
+    leave a partition HALF-replaced. Crash windows per partition: before
+    the first rename nothing changed; between the two renames the
+    partition is absent from the table but intact under
+    ``_compact_trash/`` (recover by renaming it back). Single-writer
+    assumption as elsewhere in the parquet fallback layout. Returns
     {partition_value: files_before} for the rewritten partitions."""
     import os as _os
-
-    from pyspark.sql import functions as _F
+    import shutil as _shutil
 
     frag: dict[str, int] = {}
     for entry in sorted(_os.listdir(table_path)):
@@ -103,20 +110,21 @@ def compact_partitions(
         )
         if nfiles > min_files:
             frag[val] = nfiles
-    if not frag:
-        return frag
-    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        df = spark.read.parquet(table_path).filter(
-            _F.col(partition_col).isin(list(frag))
-        )
-        (
-            df.repartition(len(frag), partition_col)
-            .write.mode("overwrite")
-            .partitionBy(partition_col)
-            .parquet(table_path)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+    stage_root = _os.path.join(table_path, "_compact_tmp")
+    trash_root = _os.path.join(table_path, "_compact_trash")
+    for val in frag:
+        leaf = f"{partition_col}={val}"
+        src = _os.path.join(table_path, leaf)
+        stage = _os.path.join(stage_root, leaf)
+        trash = _os.path.join(trash_root, leaf)
+        _shutil.rmtree(stage, ignore_errors=True)  # stale staging is harmless
+        spark.read.parquet(src).coalesce(1).write.mode("overwrite").parquet(stage)
+        _os.makedirs(trash_root, exist_ok=True)
+        _shutil.rmtree(trash, ignore_errors=True)
+        _os.rename(src, trash)
+        _os.rename(stage, src)
+        _shutil.rmtree(trash)
+    if frag:
+        _shutil.rmtree(stage_root, ignore_errors=True)
+        _shutil.rmtree(trash_root, ignore_errors=True)
     return frag

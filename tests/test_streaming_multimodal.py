@@ -146,39 +146,52 @@ def test_multimodal_probe_and_frames(spark, media):
 
 
 def test_merge_batch_late_events():
-    """Out-of-order arrivals the watermark admits must extend the open
-    session with min/max bounds, never regress last_us or miss pre-start
-    extension; fully-past runs separated by > timeout close immediately."""
+    """Out-of-order arrivals the watermark admits must extend held
+    intervals with min/max bounds, never regress last_us or miss
+    pre-start extension; an interval closes only once the watermark
+    passes its end + timeout (not merely because a newer run exists)."""
     from gmql_spark.streaming.session_stream import _merge_batch
 
     T = 120_000_000  # 120 s in us
     s = lambda sec: sec * 1_000_000  # noqa: E731
+    open_s = [(s(1000), s(1100), 5)]
 
     # open session [1000, 1100]; late event at 1050 (inside span)
-    closed, new = _merge_batch(np.array([s(1050)]), (s(1000), s(1100), 5), T)
-    assert closed == [] and new == (s(1000), s(1100), 6)
+    closed, kept = _merge_batch(np.array([s(1050)]), open_s, T, 0)
+    assert closed == [] and kept == [(s(1000), s(1100), 6)]
 
     # late event BEFORE start but within timeout: start moves earlier
-    closed, new = _merge_batch(np.array([s(950)]), (s(1000), s(1100), 5), T)
-    assert closed == [] and new == (s(950), s(1100), 6)
+    closed, kept = _merge_batch(np.array([s(950)]), open_s, T, 0)
+    assert closed == [] and kept == [(s(950), s(1100), 6)]
 
     # late event before last_us must NOT shrink session_end: the 1200
     # event (within timeout of last_us=1100) extends the end even though
     # the batch also carries a late 1050 event
-    closed, new = _merge_batch(
-        np.array([s(1050), s(1200)]), (s(1000), s(1100), 5), T
-    )
-    assert closed == [] and new == (s(1000), s(1200), 7)
+    closed, kept = _merge_batch(np.array([s(1050), s(1200)]), open_s, T, 0)
+    assert closed == [] and kept == [(s(1000), s(1200), 7)]
 
     # a run entirely in the past, > timeout before the open session:
-    # closes immediately as its own historical session
-    closed, new = _merge_batch(
-        np.array([s(100), s(150)]), (s(1000), s(1100), 5), T
+    # held until the watermark passes its end + timeout (a late event
+    # at e.g. 200 could still legitimately extend it!), then closed
+    closed, kept = _merge_batch(np.array([s(100), s(150)]), open_s, T, 0)
+    assert closed == [] and kept == [(s(100), s(150), 2), (s(1000), s(1100), 5)]
+    closed, kept = _merge_batch(
+        np.array([s(100), s(150)]), open_s, T, s(150) + T + 1
     )
-    assert closed == [(s(100), s(150), 2)] and new == (s(1000), s(1100), 5)
+    assert closed == [(s(100), s(150), 2)] and kept == [(s(1000), s(1100), 5)]
 
     # batch bridging two runs into the open session across a late gap
-    closed, new = _merge_batch(
-        np.array([s(700), s(800), s(900)]), (s(1000), s(1100), 5), T
-    )
-    assert closed == [] and new == (s(700), s(1100), 8)
+    closed, kept = _merge_batch(np.array([s(700), s(800), s(900)]), open_s, T, 0)
+    assert closed == [] and kept == [(s(700), s(1100), 8)]
+
+    # a held historical interval a late batch run bridges INTO — the
+    # eager all-but-newest close would have emitted [100,150] already
+    # and the bridge would re-emit overlapping bounds; watermark-gating
+    # coalesces them exactly
+    two = [(s(100), s(150), 2), (s(1000), s(1100), 5)]
+    closed, kept = _merge_batch(np.array([s(220), s(300)]), two, T, 0)
+    assert closed == [] and kept == [(s(100), s(300), 4), (s(1000), s(1100), 5)]
+
+    # watermark past everything: all intervals close, none kept
+    closed, kept = _merge_batch(np.empty(0, dtype=np.int64), two, T, s(10_000))
+    assert closed == two and kept == []

@@ -9,10 +9,13 @@ arithmetic) or reproduce Spark's exact interpolation formula in SQL.
 
 from __future__ import annotations
 
+import os as _os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_REPO_DIR = _os.path.dirname(_os.path.abspath(__file__))
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -504,9 +507,11 @@ def q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary-column feature extraction through the Arrow
-    mapInPandas path (deterministic stand-in decoder — real media libs
-    absent here, so NO SQL oracle: the driver records the rows-only
-    check, which is the honest claim for this operator)."""
+    mapInPandas path. The decoder is the deterministic stand-in (real
+    media libs absent here), which makes an EXACT oracle possible: its
+    expected output is precomputed outside Spark into a fixture parquet
+    (tools/make_multimodal_fixture.py) that the oracle SQL joins on
+    md5(text)."""
     from gmql_spark.operators.multimodal import extract_features
 
     docs = _read(spark, sf_dir, "documents").filter(F.length("text") > 0)
@@ -1479,6 +1484,19 @@ def oracle_sql() -> dict[str, str]:
                    unnest(generate_series(
                        0, greatest(length(text) * 10 - 1, 0), 500)) AS frame_ms
             FROM documents
+        """,
+        # exact oracle for the deterministic stub decoder: expected
+        # (n_dims, sq_norm) precomputed OUTSIDE Spark by
+        # tools/make_multimodal_fixture.py (same sha256/PCG64 recipe and
+        # the same f32-multiply/f64-accumulate fold), keyed by md5(text)
+        # so one fixture serves every sf dir. An sf dir whose documents
+        # aren't covered fails the row-count check loudly (inner join).
+        "multimodal_features": f"""
+            SELECT d.doc_id AS media_id, f.n_dims, f.sq_norm
+            FROM documents d
+            JOIN parquet_scan('{_REPO_DIR}/tests/fixtures/multimodal_features.parquet') f
+              ON md5(d.text) = f.text_md5
+            WHERE length(d.text) > 0
         """,
         "embedding_neardup": """
             WITH e AS (

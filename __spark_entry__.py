@@ -269,6 +269,60 @@ def q_nearest_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ring_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained JoinQuadruple conditions (``JoinQuadruple.scala:7-15``,
+    ``AtomicCondition.scala:9-35``): DistLess(30m) + DistGreater(5m) +
+    Upstream — clicks strictly between 5 and 30 minutes BEFORE a
+    purchase of the same user (the "ring" join: both bounds strict per
+    the reference, ``GenometricJoin.scala:169-170``)."""
+    from gmql_spark.operators.join import join_conditions
+
+    ev = _read(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    out = join_conditions(
+        purchases,
+        clicks,
+        keys=["user_id"],
+        conditions=[("dist_less", 1800.0), ("dist_greater", 300.0), "upstream"],
+        left_id="event_id",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", F.col("ts_r").alias("click_ts"), "distance_s"
+    )
+
+
+def q_nearest_beyond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DistGreater BEFORE MinDistance (``GenometricJoin.scala:65-74``
+    condition split): each purchase's nearest click MORE than 5 minutes
+    away (either direction, within 2 h), reference tie semantics — rank,
+    ties at the k-th distance all kept (``:130-151``)."""
+    from gmql_spark.operators.join import join_conditions
+
+    ev = _read(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    out = join_conditions(
+        purchases,
+        clicks,
+        keys=["user_id"],
+        conditions=[("dist_less", 7200.0), ("dist_greater", 300.0), ("min_distance", 1)],
+        left_id="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_r").alias("click_ts"),
+        "distance_s",
+        F.col("nn_rank").cast("long").alias("nn_rank"),
+    )
+
+
 def q_topg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TopG: top-2 events per (user, event_type) value-group by value
     (OrderRD TopG variant, ``IROperators.scala:240-242``)."""
@@ -803,6 +857,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "difference": q_difference,
         "asof_join": q_asof_join,
         "nearest_k": q_nearest_k,
+        "ring_join": q_ring_join,
+        "nearest_beyond": q_nearest_beyond,
         "topg": q_topg,
         "interval_intersect": q_interval_intersect,
         "summits": q_summits,
@@ -1253,6 +1309,32 @@ def oracle_sql() -> dict[str, str]:
                   ON c.user_id = p.user_id
                  AND abs(epoch_us(p.ts) - epoch_us(c.ts)) <= 1800000000
             ) WHERE nn_rank <= 3
+        """,
+        "ring_join": """
+            SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts,
+                   CAST(epoch_us(p.ts) - epoch_us(c.ts) AS DOUBLE)/1e6 AS distance_s
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase') p
+            JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+              ON c.user_id = p.user_id
+             AND epoch_us(p.ts) - epoch_us(c.ts) >= 0
+             AND abs(epoch_us(p.ts) - epoch_us(c.ts)) < 1800000000
+             AND abs(epoch_us(p.ts) - epoch_us(c.ts)) > 300000000
+        """,
+        "nearest_beyond": """
+            SELECT event_id, user_id, ts, click_ts, distance_s, nn_rank FROM (
+                SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts,
+                       CAST(epoch_us(p.ts) - epoch_us(c.ts) AS DOUBLE)/1e6 AS distance_s,
+                       rank() OVER (
+                           PARTITION BY p.event_id
+                           ORDER BY abs(epoch_us(p.ts) - epoch_us(c.ts))) AS nn_rank
+                FROM (SELECT event_id, user_id, ts FROM events
+                      WHERE event_type = 'purchase') p
+                JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+                  ON c.user_id = p.user_id
+                 AND abs(epoch_us(p.ts) - epoch_us(c.ts)) < 7200000000
+                 AND abs(epoch_us(p.ts) - epoch_us(c.ts)) > 300000000
+            ) WHERE nn_rank <= 1
         """,
         "topg": """
             SELECT user_id, event_type, event_id, value, order_pos FROM (

@@ -113,6 +113,7 @@ def nearest_k(
     direction: str = "both",
     suffix: str = "_r",
     initial_radius_s: float = 3600.0,
+    min_distance_s: float | None = None,
 ) -> DataFrame:
     """Top-k nearest right rows per left row by |Δts| — GMQL
     ``MinDistance(k)`` (``GenometricJoin.scala:130-151``: per-ref
@@ -136,6 +137,14 @@ def nearest_k(
     GMQL Upstream) | ``'forward'`` (at-or-after, Downstream). Ties on
     |Δts| break by right timestamp ascending (deterministic).
 
+    ``min_distance_s``: GMQL ``DistGreater`` chained before
+    ``MinDistance`` (``AtomicCondition.scala:15-19``,
+    ``GenometricJoin.scala:246-252``) — candidates must additionally
+    satisfy ``|Δts| > min_distance_s`` (STRICT, reference parity), i.e.
+    "the k nearest rows that are more than d away". The bucket explode
+    is still driven by ``max_distance_s`` alone; the min bound is a pure
+    residual predicate.
+
     Output: left columns + ``<right_ts><suffix>`` + suffixed
     ``right_cols`` + ``distance_s`` (signed: positive = right before
     left) + ``nn_rank`` (1-based).
@@ -143,7 +152,7 @@ def nearest_k(
     if max_distance_s is None:
         return _nearest_k_unbounded(
             left, right, keys, k, left_id, left_ts, right_ts, right_cols,
-            direction, suffix, initial_radius_s,
+            direction, suffix, initial_radius_s, min_distance_s,
         )
     bucket_us = max(int(max_distance_s * 1e6), 1)
     lus = F.unix_micros(F.col(left_ts))
@@ -162,6 +171,8 @@ def nearest_k(
     signed_us = F.unix_micros(lb[left_ts]) - F.unix_micros(rsel[f"{right_ts}{suffix}"])
     cond = [lb["_bucket"] == rsel["_bucket"]] + [lb[kk] == rsel[kk] for kk in keys]
     cond.append(F.abs(signed_us) <= bucket_us)
+    if min_distance_s is not None:
+        cond.append(F.abs(signed_us) > int(min_distance_s * 1e6))
     if direction == "backward":
         cond.append(signed_us >= 0)
     elif direction == "forward":
@@ -192,13 +203,17 @@ def _nearest_k_unbounded(
     direction: str,
     suffix: str,
     initial_radius_s: float,
+    min_distance_s: float | None = None,
 ) -> DataFrame:
     """Iterative radius doubling (see ``nearest_k``). Once the radius
     covers the combined span of both sides every remaining row has seen
     ALL its candidates, so rows with <k neighbors terminate with what
     exists (matching the reference's unbounded bin replication,
     ``GenometricJoin.scala:284-331``, without replicating the whole
-    table ±∞)."""
+    table ±∞). A ``min_distance_s`` lower bound composes soundly: the
+    per-round candidate set is already filtered to ``|Δ| > d_min``, so
+    "has ≥ k candidates within radius r" still certifies global top-k
+    (every unseen candidate is farther than r ≥ the k-th distance)."""
     spark = left.sparkSession
     bounds = right.agg(
         F.min(F.unix_micros(F.col(right_ts))).alias("lo"),
@@ -208,6 +223,7 @@ def _nearest_k_unbounded(
         left.limit(0), right.limit(0), keys, k=k, max_distance_s=initial_radius_s,
         left_id=left_id, left_ts=left_ts, right_ts=right_ts,
         right_cols=right_cols, direction=direction, suffix=suffix,
+        min_distance_s=min_distance_s,
     )
     if bounds.lo is None:
         return empty_schema_probe
@@ -225,6 +241,7 @@ def _nearest_k_unbounded(
             remaining, right, keys, k=k, max_distance_s=radius,
             left_id=left_id, left_ts=left_ts, right_ts=right_ts,
             right_cols=right_cols, direction=direction, suffix=suffix,
+            min_distance_s=min_distance_s,
         )
         exhaustive = radius >= span_s
         if exhaustive:
@@ -268,6 +285,7 @@ def interval_join(
     builder: str = "both",
     distinct: bool = False,
     suffix: str = "_r",
+    min_distance_s: float | None = None,
 ) -> DataFrame:
     """Interval overlap/proximity join with GMQL region-builder output
     variants (``GenometricJoin.scala:345-372``,
@@ -278,6 +296,13 @@ def interval_join(
     ``l.start - d < r.end AND r.start < l.end + d`` (d=0 → strict
     overlap, GMQL's ``DistLess`` with negative distance iff overlap,
     ``:375-386``).
+
+    ``min_distance_s``: GMQL ``DistGreater`` — additionally require the
+    reference's interval distance (``GenometricJoin.scala:375-386``:
+    the smaller edge distance, negated iff the intervals overlap) to be
+    STRICTLY greater than the bound. A negative bound admits overlaps
+    shallower than ``|bound|``; e.g. ``min_distance_s=0`` keeps only
+    matches separated by a positive gap (within ``max_distance_s``).
 
     Physical plan: both sides exploded to the ``bucket_s``-wide time
     buckets their (extended) span covers → equi-join on (bucket, keys) +
@@ -338,6 +363,18 @@ def interval_join(
         # owner-bucket dedup: count the pair only in the first shared bucket
         lb["_bucket"] == F.greatest(lb["_lb0"], rb["_rb0"]),
     ]
+    if min_distance_s is not None:
+        # reference distanceCalculator (GenometricJoin.scala:375-386):
+        # min of the two edge distances, negated iff the intervals
+        # overlap (half-open [start, end))
+        d1 = F.unix_micros(lb[left_start]) - F.unix_micros(rb[re_])
+        d2 = F.unix_micros(rb[rs]) - F.unix_micros(lb[left_end])
+        edge_min = F.least(F.abs(d1), F.abs(d2))
+        disjoint = (F.unix_micros(lb[left_end]) < F.unix_micros(rb[rs])) | (
+            F.unix_micros(rb[re_]) < F.unix_micros(lb[left_start])
+        )
+        ref_dist = F.when(disjoint, edge_min).otherwise(-edge_min)
+        cond.append(ref_dist > int(min_distance_s * 1e6))
     j = lb.join(rb, cond, "inner").drop("_bucket", "_lb0", "_rb0")
     for kk in keys:  # keep the left copy of each join key only
         j = j.drop(rb[kk])
@@ -365,6 +402,7 @@ def range_join(
     left_ts: str = "ts",
     right_ts: str = "ts",
     how: str = "inner",
+    min_distance_s: float | None = None,
 ) -> DataFrame:
     """All (left, right) pairs with |left_ts - right_ts| <= max_distance
     within each key (GMQL ``DistLess``). Bucketed equi-prefix: the left
@@ -372,6 +410,13 @@ def range_join(
     equi-join (bucket, keys) + residual predicate — Catalyst plans a
     normal shuffled hash/sort-merge join instead of a
     broadcast-nested-loop.
+
+    ``min_distance_s``: GMQL ``DistGreater`` (``AtomicCondition.scala:
+    15-19``) — additionally require ``|Δts| > min_distance_s`` (STRICT,
+    reference parity: ``GenometricJoin.scala:169-170`` filters
+    ``min < distance``). The bucket width stays driven by
+    ``max_distance_s`` alone; the lower bound is a residual predicate
+    (a "ring" join: pairs between d_min and d_max apart).
 
     Only ``how='inner'`` is supported: each left row exists in 3 exploded
     bucket copies, so outer variants would emit duplicate null-extended
@@ -394,8 +439,135 @@ def range_join(
         ),
     )
     rb = right.withColumn("_bucket", (rus / bucket_us).cast("long"))
-    residual = (
-        F.abs(F.unix_micros(lb[left_ts]) - F.unix_micros(rb[right_ts])) <= bucket_us
-    )
-    cond = [lb["_bucket"] == rb["_bucket"]] + [lb[k] == rb[k] for k in keys] + [residual]
+    abs_delta = F.abs(F.unix_micros(lb[left_ts]) - F.unix_micros(rb[right_ts]))
+    cond = [lb["_bucket"] == rb["_bucket"]] + [lb[k] == rb[k] for k in keys]
+    cond.append(abs_delta <= bucket_us)
+    if min_distance_s is not None:
+        cond.append(abs_delta > int(min_distance_s * 1e6))
     return lb.join(rb, cond, how).drop("_bucket")
+
+
+# GMQL JoinQuadruple atomic conditions (AtomicCondition.scala:9-35),
+# temporal recast: distance = |left_ts - right_ts|; upstream = right
+# at-or-before left (ties match, as the reference's `stop <= start`),
+# downstream = at-or-after.
+_ATOMIC = ("dist_less", "dist_greater", "min_distance", "upstream", "downstream")
+
+
+def join_conditions(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    conditions: Sequence,
+    left_id: str = "event_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: Sequence[str] = (),
+    suffix: str = "_r",
+) -> DataFrame:
+    """GMQL's chained join conditions (``JoinQuadruple.scala:7-15``:
+    up to 4 atomic conditions "the filtering must be performed in
+    order"), temporal recast over point events.
+
+    ``conditions`` is an ordered sequence of
+    ``("dist_less", seconds)`` / ``("dist_greater", seconds)`` /
+    ``("min_distance", k)`` / ``"upstream"`` / ``"downstream"``.
+    Exactly as the reference splits a quadruple
+    (``GenometricJoin.scala:65-74``): conditions BEFORE the (single)
+    ``min_distance`` restrict the candidate pairs
+    (``checkRegionCondition``, ``:246-281``: strict ``distance < less``
+    / ``distance > greater`` bounds plus direction); ``min_distance(k)``
+    then keeps each left row's k nearest candidates INCLUDING ties at
+    the k-th distance (``:130-151``: ``filter(_._2 <= itr(count-1)._2)``
+    — note this differs from ``nearest_k``'s exactly-k tiebreak);
+    conditions AFTER it filter that ranked result (``:160-188``).
+
+    Physical plan: ONE bucketed equi-prefix join sized by the smallest
+    pre-phase ``dist_less`` bound (the explode is driven by d_max only —
+    d_min/direction are residual predicates), then a per-left-row window
+    rank, then post filters. A pre-phase ``dist_less`` is required: it
+    is what bounds the candidate volume (for unbounded nearest use
+    ``nearest_k(max_distance_s=None)``).
+
+    Output: left columns + ``<right_ts><suffix>`` + suffixed
+    ``right_cols`` + signed ``distance_s`` (positive = right before
+    left) + ``nn_rank`` when ``min_distance`` is present.
+    """
+    norm: list[tuple] = []
+    for c in conditions:
+        c = (c,) if isinstance(c, str) else tuple(c)
+        if c[0] not in _ATOMIC:
+            raise ValueError(f"unknown atomic condition {c[0]!r}; use one of {_ATOMIC}")
+        norm.append(c)
+    ks = [i for i, c in enumerate(norm) if c[0] == "min_distance"]
+    if len(ks) > 1:
+        raise ValueError("at most one min_distance condition is supported")
+    split = ks[0] if ks else len(norm)
+    pre, post = norm[:split], norm[split + 1 :]
+    k = norm[split][1] if ks else None
+    if post and not ks:
+        raise AssertionError("unreachable: post conditions imply a min_distance")
+
+    less = [c[1] for c in pre if c[0] == "dist_less"]
+    if not less:
+        raise ValueError(
+            "a dist_less bound before min_distance is required to bound the "
+            "candidate join (reference caps via MAXIMUM_DISTANCE, "
+            "GenometricJoin.scala:76-78); for unbounded nearest-neighbor "
+            "semantics use nearest_k(max_distance_s=None, min_distance_s=...)"
+        )
+    bucket_us = max(int(min(less) * 1e6), 1)
+
+    lus = F.unix_micros(F.col(left_ts))
+    lb = left.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence((lus / bucket_us).cast("long") - 1, (lus / bucket_us).cast("long") + 1)
+        ),
+    )
+    rsel = right.select(
+        *keys,
+        F.col(right_ts).alias(f"{right_ts}{suffix}"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+    )
+    rsel = rsel.withColumn(
+        "_bucket", (F.unix_micros(F.col(f"{right_ts}{suffix}")) / bucket_us).cast("long")
+    )
+    signed_us = F.unix_micros(lb[left_ts]) - F.unix_micros(rsel[f"{right_ts}{suffix}"])
+
+    def _residual(c: tuple):
+        if c[0] == "dist_less":
+            return F.abs(signed_us) < int(c[1] * 1e6)
+        if c[0] == "dist_greater":
+            return F.abs(signed_us) > int(c[1] * 1e6)
+        if c[0] == "upstream":
+            return signed_us >= 0
+        return signed_us <= 0  # downstream
+
+    cond = [lb["_bucket"] == rsel["_bucket"]] + [lb[kk] == rsel[kk] for kk in keys]
+    cond += [_residual(c) for c in pre]
+    joined = lb.join(rsel, cond, "inner").drop("_bucket")
+    for kk in keys:
+        joined = joined.drop(rsel[kk])
+
+    dist_us = F.unix_micros(F.col(left_ts)) - F.unix_micros(F.col(f"{right_ts}{suffix}"))
+    # integer µs kept through rank + post filters (strict bounds must
+    # not pass through a float µs→s→µs round-trip)
+    out = joined.withColumn("_dist_us", dist_us).withColumn(
+        "distance_s", dist_us / F.lit(1e6)
+    )
+    if k is not None:
+        # rank (not row_number): ties at the k-th distance all survive,
+        # the reference's MinDistance semantics
+        w = Window.partitionBy(left_id).orderBy(F.abs(F.col("_dist_us")).asc())
+        out = out.withColumn("nn_rank", F.rank().over(w)).filter(F.col("nn_rank") <= k)
+    for c in post:
+        if c[0] == "dist_less":
+            out = out.filter(F.abs(F.col("_dist_us")) < int(c[1] * 1e6))
+        elif c[0] == "dist_greater":
+            out = out.filter(F.abs(F.col("_dist_us")) > int(c[1] * 1e6))
+        elif c[0] == "upstream":
+            out = out.filter(F.col("_dist_us") >= 0)
+        else:
+            out = out.filter(F.col("_dist_us") <= 0)
+    return out.drop("_dist_us")

@@ -369,6 +369,39 @@ def _op_nearest(dfs, st):
         left_id=st.params.get("id", "event_id"),
         right_cols=cols if isinstance(cols, list) else [cols],
         direction=st.params.get("direction", "both"),
+        min_distance_s=(
+            float(st.params["min_dist"]) if "min_dist" in st.params else None
+        ),
+    )
+
+
+def _op_condjoin(dfs, st):
+    """CONDJOIN — GMQL's ordered JoinQuadruple condition chain
+    (``JoinQuadruple.scala:7-15``) as a statement: ``conditions`` is a
+    list of atoms like ``'dist_less 1800'``, ``'dist_greater 300'``,
+    ``'min_distance 1'``, ``'upstream'``, ``'downstream'``, applied in
+    order (pre-filter / tie-inclusive nearest / post-filter split,
+    ``GenometricJoin.scala:65-74``)."""
+    from gmql_spark.operators.join import join_conditions
+
+    keys = st.params.get("key", ["conv_id"])
+    keys = keys if isinstance(keys, list) else [keys]
+    conds = st.params.get("conditions", [])
+    conds = conds if isinstance(conds, list) else [conds]
+    parsed: list = []
+    for c in conds:
+        parts = str(c).split()
+        if len(parts) == 1:
+            parsed.append(parts[0])
+        elif parts[0] == "min_distance":
+            parsed.append((parts[0], int(parts[1])))
+        else:
+            parsed.append((parts[0], float(parts[1])))
+    cols = st.params.get("cols", [])
+    return join_conditions(
+        dfs[0], dfs[1], keys=keys, conditions=parsed,
+        left_id=st.params.get("id", "event_id"),
+        right_cols=cols if isinstance(cols, list) else [cols],
     )
 
 
@@ -383,6 +416,9 @@ def _op_join(dfs, st):
         bucket_s=float(st.params.get("bucket", 3600.0)),
         builder=st.params.get("builder", "both"),
         distinct=bool(st.params.get("distinct", False)),
+        min_distance_s=(
+            float(st.params["min_dist"]) if "min_dist" in st.params else None
+        ),
     )
 
 
@@ -585,6 +621,7 @@ OPS: dict[str, tuple] = {
     "DIFFERENCE": (_op_difference, 2),
     "ASOF": (_op_asof, 2),
     "NEAREST": (_op_nearest, 2),
+    "CONDJOIN": (_op_condjoin, 2),
     "JOIN": (_op_join, 2),
     "COVER": (_op_cover, 1),
     "HISTOGRAM": (_op_cover, 1),

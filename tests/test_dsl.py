@@ -384,3 +384,52 @@ def test_components_statement(spark):
     assert {(r.id, r.component) for r in got.collect()} == {
         (1, 1), (2, 1), (3, 1), (7, 7), (8, 7),
     }
+
+
+def test_script_condjoin_equals_direct(spark, raw):
+    """CONDJOIN statement == join_conditions call (ring + nearest-beyond
+    chains), and min_dist on NEAREST == the min_distance_s parameter."""
+    from gmql_spark.operators.join import join_conditions, nearest_k
+
+    a = raw.filter(F.col("role") == "user").select(
+        "conv_id", "ts", F.monotonically_increasing_id().alias("event_id")
+    )
+    b = raw.filter(F.col("role") == "assistant").select("conv_id", "ts")
+    script = """
+        R = CONDJOIN(key: 'conv_id',
+                     conditions: ['dist_less 600', 'dist_greater 30', 'upstream'],
+                     id: 'event_id') A B;
+        N = CONDJOIN(key: 'conv_id',
+                     conditions: ['dist_less 600', 'min_distance 1', 'downstream'],
+                     id: 'event_id') A B;
+        M = NEAREST(key: 'conv_id', k: 1, dist: 600.0, min_dist: 30.0,
+                    id: 'event_id') A B;
+        MATERIALIZE R; MATERIALIZE N; MATERIALIZE M;
+    """
+    compiled = compile_script(spark, script, tables={"A": a, "B": b})
+
+    def pdf(df):
+        return (
+            df.toPandas()
+            .sort_values(list(df.columns))
+            .reset_index(drop=True)
+        )
+
+    direct_r = join_conditions(
+        a, b, keys=["conv_id"],
+        conditions=[("dist_less", 600.0), ("dist_greater", 30.0), "upstream"],
+        left_id="event_id",
+    )
+    direct_n = join_conditions(
+        a, b, keys=["conv_id"],
+        conditions=[("dist_less", 600.0), ("min_distance", 1), "downstream"],
+        left_id="event_id",
+    )
+    direct_m = nearest_k(
+        a, b, keys=["conv_id"], k=1, max_distance_s=600.0,
+        min_distance_s=30.0, left_id="event_id",
+    )
+    assert len(pdf(compiled.materialized["R"])) > 0
+    pd.testing.assert_frame_equal(pdf(compiled.materialized["R"]), pdf(direct_r))
+    pd.testing.assert_frame_equal(pdf(compiled.materialized["N"]), pdf(direct_n))
+    pd.testing.assert_frame_equal(pdf(compiled.materialized["M"]), pdf(direct_m))

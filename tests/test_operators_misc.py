@@ -241,3 +241,140 @@ def test_nearest_k_unbounded_matches_bruteforce(spark):
     for e, exp_list in exp.items():
         got_list = [t for _, t in sorted(got.get(e, {}).items())]
         assert got_list == exp_list, f"event {e}: {got_list} != {exp_list}"
+
+
+# ------------------------------- DistGreater / condition chains (r4)
+
+
+def test_range_join_ring(spark):
+    """min_distance_s = GMQL DistGreater: STRICT lower bound on |Δt|,
+    residual-only (bucket width still from max_distance_s)."""
+    left = spark.createDataFrame([(1, "a", ts(60))], "lid long, k string, ts timestamp")
+    right = spark.createDataFrame(
+        [(10, "a", ts(60)), (11, "a", ts(55)), (12, "a", ts(30)), (13, "a", ts(10)),
+         (14, "a", ts(90)), (15, "a", ts(120))],
+        "rid long, k string, ts timestamp",
+    )
+    out = range_join(
+        left, right, keys=["k"], max_distance_s=1800.0, min_distance_s=300.0
+    )
+    pairs = {r.rid for r in out.collect()}
+    # ring (5, 30] minutes: 55 (5 min away) is excluded by the STRICT >,
+    # 30/90 (30 min) included, 10/120 excluded only if > max; 10 is 50
+    # min away -> out; 120 is 60 min away -> out
+    assert pairs == {12, 14}
+
+
+def test_nearest_k_min_distance(spark):
+    """Nearest neighbor more than d away (DistGreater before
+    MinDistance): the exclusion zone removes closer candidates from
+    ranking entirely, bounded and unbounded paths agree."""
+    from gmql_spark.operators.join import nearest_k
+
+    left = spark.createDataFrame([(1, "a", ts(100))], "event_id long, k string, ts timestamp")
+    right = spark.createDataFrame(
+        [("a", ts(99)), ("a", ts(103)), ("a", ts(110)), ("a", ts(60))],
+        "k string, ts timestamp",
+    )
+    got = nearest_k(
+        left, right, keys=["k"], k=2, max_distance_s=7200.0,
+        left_id="event_id", min_distance_s=300.0,
+    )
+    rows = [(r.ts_r, r.nn_rank) for r in got.orderBy("nn_rank").collect()]
+    # 99/103 are within 5 min -> excluded; nearest beyond is 110 then 60
+    assert rows == [(ts(110), 1), (ts(60), 2)]
+
+    unb = nearest_k(
+        left, right, keys=["k"], k=2, max_distance_s=None,
+        left_id="event_id", min_distance_s=300.0, initial_radius_s=60.0,
+    )
+    rows_u = [(r.ts_r, r.nn_rank) for r in unb.orderBy("nn_rank").collect()]
+    assert rows_u == rows
+
+
+def test_interval_join_min_distance(spark):
+    """Interval DistGreater uses the reference's distance calculator
+    (min edge distance, negated iff overlap): positive bound = gap
+    strictly greater; negative bound admits shallow overlaps."""
+    from gmql_spark.operators.join import interval_join
+
+    lv = spark.createDataFrame(
+        [(1, "a", ts(0), ts(10))], "lid long, k string, start_ts timestamp, end_ts timestamp"
+    )
+    rv = spark.createDataFrame(
+        [(20, "a", ts(12), ts(14)),   # gap 2 min
+         (21, "a", ts(25), ts(30)),   # gap 15 min
+         (22, "a", ts(8), ts(12))],   # overlap, edge distance 2 min -> dist -2 min
+        "rid long, k string, start_ts timestamp, end_ts timestamp",
+    )
+    near = interval_join(
+        lv, rv, keys=["k"], max_distance_s=3600.0, bucket_s=600.0,
+        min_distance_s=300.0,
+    )
+    assert {r.rid for r in near.collect()} == {21}  # only the 15-min gap
+    shallow = interval_join(
+        lv, rv, keys=["k"], max_distance_s=3600.0, bucket_s=600.0,
+        min_distance_s=-60.0,
+    )
+    # -1 min bound: gaps (2, 15) pass; overlap dist -2 min < -1 min fails
+    assert {r.rid for r in shallow.collect()} == {20, 21}
+
+
+def test_join_conditions_quadruple(spark):
+    """Ordered chain parity with JoinQuadruple: pre conditions restrict
+    candidates, min_distance keeps ties at the k-th distance (rank, not
+    row_number), post conditions filter the ranked result."""
+    from gmql_spark.operators.join import join_conditions
+
+    left = spark.createDataFrame([(1, "a", ts(100))], "event_id long, k string, ts timestamp")
+    right = spark.createDataFrame(
+        [("a", ts(98)), ("a", ts(102)),          # ties at 2 min
+         ("a", ts(95)), ("a", ts(110)), ("a", ts(150))],
+        "k string, ts timestamp",
+    )
+    # DistLess(1h) ; MinDistance(1) -> both 2-min ties survive
+    out = join_conditions(
+        left, right, keys=["k"],
+        conditions=[("dist_less", 3600.0), ("min_distance", 1)],
+        left_id="event_id",
+    )
+    assert {r.ts_r for r in out.collect()} == {ts(98), ts(102)}
+
+    # DistGreater(4min) before MinDistance: nearest beyond the zone
+    out2 = join_conditions(
+        left, right, keys=["k"],
+        conditions=[("dist_less", 3600.0), ("dist_greater", 240.0), ("min_distance", 1)],
+        left_id="event_id",
+    )
+    assert {r.ts_r for r in out2.collect()} == {ts(95)}
+
+    # post-phase filter: nearest-2, then only upstream (right before left)
+    out3 = join_conditions(
+        left, right, keys=["k"],
+        conditions=[("dist_less", 3600.0), ("min_distance", 3), "upstream"],
+        left_id="event_id",
+    )
+    assert {r.ts_r for r in out3.collect()} == {ts(98), ts(95)}
+
+    # pure pre-phase ring with direction, no min_distance
+    out4 = join_conditions(
+        left, right, keys=["k"],
+        conditions=[("dist_less", 1800.0), ("dist_greater", 240.0), "upstream"],
+        left_id="event_id",
+    )
+    assert {r.ts_r for r in out4.collect()} == {ts(95)}
+
+
+def test_join_conditions_validation(spark):
+    from gmql_spark.operators.join import join_conditions
+
+    df = spark.createDataFrame([(1, "a", ts(0))], "event_id long, k string, ts timestamp")
+    with pytest.raises(ValueError, match="unknown atomic"):
+        join_conditions(df, df, keys=["k"], conditions=[("nope", 1)])
+    with pytest.raises(ValueError, match="min_distance"):
+        join_conditions(
+            df, df, keys=["k"],
+            conditions=[("dist_less", 1), ("min_distance", 1), ("min_distance", 2)],
+        )
+    with pytest.raises(ValueError, match="dist_less"):
+        join_conditions(df, df, keys=["k"], conditions=[("min_distance", 1)])

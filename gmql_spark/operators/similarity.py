@@ -156,13 +156,27 @@ def ivf_topk(
     per query instead of |corpus|; recall misses only neighbors whose
     cell the query does not probe.
 
-    ``centroids`` is a (n_cells, dim) numpy array — trained offline
-    (k-means or a seeded sample); inlined as literals so both the cell
-    assignment and the probe ranking stay JVM-side Catalyst expressions
-    (and a DuckDB oracle can inline the identical values).
+    ``centroids`` is either
+    - a (n_cells, dim) numpy array — inlined as literals so both the
+      cell assignment and the probe ranking stay JVM-side Catalyst
+      expressions (and a DuckDB oracle can inline the identical
+      values). Right for oracle gates and small cell counts; literal
+      plans grow with n_cells (measured: fine to a few hundred cells,
+      codegen blowup beyond), or
+    - a DataFrame ``(cell int 1-based, centroid array<numeric>)`` — the
+      scale path for 10^4-10^5 cells: broadcast hash join on a constant
+      key (NOT a nested-loop cross join) + ``max_by`` argmax for the
+      corpus assignment (partial map-side combine — no corpus-scale
+      window), window top-``n_probe`` on the tiny query side. Same
+      argmax/tie semantics as the literal mode (ties to the lowest cell
+      index); equality-tested against it at 256 cells.
     """
     import numpy as np
 
+    if isinstance(centroids, DataFrame):
+        return _ivf_topk_table(
+            queries, corpus, centroids, k, n_probe, id_col, vec_col
+        )
     cen = np.asarray(centroids, dtype=np.float64)
 
     def sims(vc, nrm):
@@ -208,6 +222,96 @@ def ivf_topk(
         rank_col="rank",
     )
     return out.select("query_id", "neighbor_id", "rank", "sim")
+
+
+def _ivf_topk_table(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+    cell_col: str = "cell",
+    cent_col: str = "centroid",
+) -> DataFrame:
+    """Centroid-TABLE variant of ``ivf_topk`` (see its docstring): the
+    centroid set rides a broadcast hash join instead of being inlined,
+    so the plan size is independent of n_cells."""
+    # join key: constant 0 computed from a column — NOT a literal, so
+    # ConstantFolding cannot collapse the equi-condition into a
+    # nested-loop cross join; Catalyst plans a BroadcastHashJoin whose
+    # single hash bucket holds the n_cells entries (same row expansion
+    # as a cross join, hash-join codegen instead of BNLJ)
+    cent = (
+        centroids.select(
+            F.col(cell_col).cast("int").alias("_cell"),
+            F.col(cent_col).alias("_cent"),
+        )
+        .withColumn("_cnorm", F.sqrt(_dot(F.col("_cent"), F.col("_cent"))))
+        .withColumn("_one", F.pmod(F.xxhash64("_cell"), F.lit(1)))
+    )
+
+    def scored_cells(frame, idc, vc):
+        nrm = F.sqrt(_dot(F.col(vc), F.col(vc)))
+        e = frame.withColumn("_n", nrm).withColumn(
+            "_one", F.pmod(F.xxhash64(F.col(idc)), F.lit(1))
+        ).join(F.broadcast(cent), on="_one")
+        sim = _dot(F.col(vc), F.col("_cent")) / (F.col("_n") * F.col("_cnorm"))
+        return e.select(idc, vc, F.col("_cell"), sim.alias("_csim"))
+
+    # corpus assignment: aggregated argmax (ties to the LOWEST cell,
+    # matching the literal mode's array_position-of-first-max) — an agg,
+    # not a window, so partial combine keeps the exploded rows from
+    # shuffling corpus x n_cells
+    c = scored_cells(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
+        "neighbor_id",
+        "_cv",
+    )
+    assigned = c.groupBy("neighbor_id").agg(
+        F.max_by(
+            F.col("_cell"), F.struct(F.col("_csim").alias("s"), (-F.col("_cell")).alias("t"))
+        ).alias("cell"),
+        F.first("_cv").alias("_cv"),
+    )
+    # query probing: top n_probe cells per query (query side is small)
+    qs = scored_cells(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")),
+        "query_id",
+        "_qv",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_csim").desc(), F.col("_cell").asc())
+    probed = (
+        qs.withColumn("_pr", F.row_number().over(w))
+        .filter(F.col("_pr") <= n_probe)
+        .select("query_id", "_qv", F.col("_cell").alias("cell"))
+    )
+    cands = probed.join(assigned, on="cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    qn = F.sqrt(_dot(F.col("_qv"), F.col("_qv")))
+    cn = F.sqrt(_dot(F.col("_cv"), F.col("_cv")))
+    sim = _dot(F.col("_qv"), F.col("_cv")) / (qn * cn)
+    scored = cands.select("query_id", "neighbor_id", sim.alias("sim"))
+    out = topk_per_key(
+        scored,
+        keys=["query_id"],
+        order_by=[F.col("sim").desc(), F.col("neighbor_id").asc()],
+        k=k,
+        rank_col="rank",
+    )
+    return out.select("query_id", "neighbor_id", "rank", "sim")
+
+
+def centroids_to_table(spark, centroids) -> DataFrame:
+    """(n_cells, dim) array -> the (cell, centroid) DataFrame shape
+    ``ivf_topk`` accepts (cell is 1-based like the literal mode)."""
+    import numpy as np
+
+    cen = np.asarray(centroids, dtype=np.float64)
+    rows = [(i + 1, [float(x) for x in c]) for i, c in enumerate(cen)]
+    return spark.createDataFrame(rows, "cell int, centroid array<double>")
 
 
 def lsh_bucket_topk(

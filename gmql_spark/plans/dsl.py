@@ -405,6 +405,46 @@ def _op_condjoin(dfs, st):
     )
 
 
+def _op_ann(dfs, st):
+    """ANN — approximate/exact nearest-neighbor top-k over embedding
+    columns: ``method: 'brute'`` (broadcast exact baseline) or ``'lsh'``
+    (random-hyperplane buckets, the scale path). Inputs: queries,
+    corpus."""
+    from gmql_spark.operators.similarity import cosine_topk, lsh_bucket_topk
+
+    k = int(st.params.get("k", 5))
+    idc = st.params.get("id", "vec_id")
+    vc = st.params.get("vec", "embedding")
+    method = st.params.get("method", "brute")
+    if method == "brute":
+        return cosine_topk(dfs[0], dfs[1], k=k, id_col=idc, vec_col=vc)
+    if method == "lsh":
+        return lsh_bucket_topk(
+            dfs[0], dfs[1], k=k, id_col=idc, vec_col=vc,
+            n_planes=int(st.params.get("planes", 16)),
+            n_tables=int(st.params.get("tables", 4)),
+            dim=int(st.params.get("dim", 64)),
+            seed=int(st.params.get("seed", 7)),
+        )
+    raise GSLError(f"line {st.pos}: ANN method must be brute|lsh, got {method!r}")
+
+
+def _op_ivf(dfs, st):
+    """IVF — centroid-table ANN (3 inputs: queries, corpus, centroids):
+    the broadcast-hash-join cell assignment + n_probe re-rank scale
+    path; the centroid table is a first-class variable so a trained
+    index loads/joins like any other dataset."""
+    from gmql_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(
+        dfs[0], dfs[1], dfs[2],
+        k=int(st.params.get("k", 5)),
+        n_probe=int(st.params.get("n_probe", 2)),
+        id_col=st.params.get("id", "vec_id"),
+        vec_col=st.params.get("vec", "embedding"),
+    )
+
+
 def _op_join(dfs, st):
     from gmql_spark.operators.join import interval_join
 
@@ -622,6 +662,8 @@ OPS: dict[str, tuple] = {
     "ASOF": (_op_asof, 2),
     "NEAREST": (_op_nearest, 2),
     "CONDJOIN": (_op_condjoin, 2),
+    "ANN": (_op_ann, 2),
+    "IVF": (_op_ivf, 3),
     "JOIN": (_op_join, 2),
     "COVER": (_op_cover, 1),
     "HISTOGRAM": (_op_cover, 1),

@@ -252,3 +252,34 @@ def test_dedup_components_nonconvergence_raises(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup_components(chain, max_rounds=3)
+
+
+def test_ivf_table_centroids_equals_literal(spark):
+    """The broadcast centroid-TABLE path must reproduce the literal
+    mode's results (same argmax/tie semantics) at 256 cells, with a plan
+    whose size does not grow with n_cells: broadcast HASH join on the
+    constant key, no BroadcastNestedLoopJoin, no 256-literal-array
+    codegen blob."""
+    from gmql_spark.operators.similarity import centroids_to_table, ivf_topk
+
+    rng = np.random.Generator(np.random.PCG64(31))
+    vecs = rng.standard_normal((400, 16))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(400)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter("vec_id < 10")
+    cen = rng.standard_normal((256, 16))
+
+    lit_df = ivf_topk(q, emb, cen, k=5, n_probe=4)
+    tab_df = ivf_topk(q, emb, centroids_to_table(spark, cen), k=5, n_probe=4)
+
+    lit = {(r.query_id, r.neighbor_id, r.rank) for r in lit_df.collect()}
+    tab = {(r.query_id, r.neighbor_id, r.rank) for r in tab_df.collect()}
+    assert tab == lit
+
+    plan_tab = tab_df._jdf.queryExecution().executedPlan().toString()
+    plan_lit = lit_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan_tab
+    assert "BroadcastHashJoin" in plan_tab
+    # the literal plan embeds 256 centroid arrays; the table plan must
+    # be dramatically smaller and stay flat as n_cells grows
+    assert len(plan_tab) < len(plan_lit) / 3, (len(plan_tab), len(plan_lit))

@@ -433,3 +433,42 @@ def test_script_condjoin_equals_direct(spark, raw):
     pd.testing.assert_frame_equal(pdf(compiled.materialized["R"]), pdf(direct_r))
     pd.testing.assert_frame_equal(pdf(compiled.materialized["N"]), pdf(direct_n))
     pd.testing.assert_frame_equal(pdf(compiled.materialized["M"]), pdf(direct_m))
+
+
+def test_script_ann_ivf_equals_direct(spark):
+    """ANN/IVF statements == direct similarity calls; IVF takes the
+    centroid table as a third first-class input variable."""
+    import numpy as np
+
+    from gmql_spark.operators.similarity import (
+        centroids_to_table,
+        cosine_topk,
+        ivf_topk,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    vecs = rng.standard_normal((120, 16))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(120)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter("vec_id < 8")
+    cen_tab = centroids_to_table(spark, rng.standard_normal((16, 16)))
+
+    script = """
+        B = ANN(k: 3, method: 'brute') Q C;
+        V = IVF(k: 3, n_probe: 4) Q C CEN;
+        MATERIALIZE B; MATERIALIZE V;
+    """
+    compiled = compile_script(
+        spark, script, tables={"Q": q, "C": emb, "CEN": cen_tab}
+    )
+
+    def keyset(df):
+        return {(r.query_id, r.neighbor_id, r.rank) for r in df.collect()}
+
+    assert keyset(compiled.materialized["B"]) == keyset(cosine_topk(q, emb, k=3))
+    assert keyset(compiled.materialized["V"]) == keyset(
+        ivf_topk(q, emb, cen_tab, k=3, n_probe=4)
+    )
+    with pytest.raises(GSLError, match="takes 3"):
+        compile_script(spark, "V = IVF(k: 3) Q C; MATERIALIZE V;",
+                       tables={"Q": q, "C": emb})

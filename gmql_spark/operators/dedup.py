@@ -270,6 +270,7 @@ def dedup_components(
     a: str = "id_a",
     b: str = "id_b",
     max_rounds: int = 50,
+    method: str = "label",
 ) -> DataFrame:
     """Connected components over near-dup pairs: ``(id, component)``
     with ``component = min id in the component`` — the grouping step
@@ -290,6 +291,15 @@ def dedup_components(
 
     ``nodes`` (one id column named like ``a``) adds isolated documents
     as singleton components; defaults to the ids appearing in pairs.
+
+    ``method``: ``'label'`` (default) is the min-label propagation above
+    — rounds = component DIAMETER, the right trade for shallow near-dup
+    clusters. ``'star'`` is the large-star/small-star alternation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    O(log n) rounds regardless of diameter, the opt-in for deep chains
+    (long reply-chains, chained boilerplate edits) where min-label's
+    round bound fails. Both produce identical (id, component=min id)
+    output (equality-tested on random graphs).
     """
     edges = (
         pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
@@ -300,6 +310,10 @@ def dedup_components(
         ids = edges.select(F.col("u").alias("id")).distinct()
     else:
         ids = nodes.select(F.col(a).alias("id")).distinct()
+    if method == "star":
+        return _components_star(edges, ids, max_rounds)
+    if method != "label":
+        raise ValueError("method must be label|star")
     labels = ids.withColumn("component", F.col("id")).localCheckpoint(eager=True)
     for _ in range(max_rounds):
         neighbor_min = (
@@ -333,6 +347,73 @@ def dedup_components(
     return labels
 
 
+def _components_star(edges: DataFrame, ids: DataFrame, max_rounds: int) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al. 2014):
+    alternate
+      large-star: every neighbor LARGER than u re-attaches to
+                  min(N(u) ∪ {u}),
+      small-star: u and its SMALLER neighbors all attach to that min,
+    each an equi-join + min-agg shuffle. The edge set contracts toward
+    per-component stars rooted at the min id in O(log n) rounds
+    independent of diameter. Convergence = unchanged (count, hash-sum)
+    of the directed edge set — an O(1)-row driver action per round;
+    lineage truncated per round with localCheckpoint like the min-label
+    loop."""
+    # direct every edge large -> small so the invariant v < u holds
+    ed = (
+        edges.filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(max_rounds):
+        # large-star over the symmetrized neighborhood
+        sym = ed.unionByName(
+            ed.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("_mv"))
+            .select("u", F.least("u", "_mv").alias("_m"))
+        )
+        ed = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(m, on="u")
+            .select(F.col("v").alias("u"), F.col("_m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star (edges are large->small already: v < u)
+        m2 = ed.groupBy("u").agg(F.min("v").alias("_mv"))
+        ed = (
+            ed.join(m2, on="u")
+            .select(F.col("v").alias("u"), F.col("_mv").alias("v"))
+            .unionByName(m2.select("u", F.col("_mv").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        sig = ed.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),  # overflow-free set hash
+        ).collect()[0]
+        if prev_sig == (sig.n, sig.h):
+            break
+        prev_sig = (sig.n, sig.h)
+    else:
+        raise RuntimeError(
+            f"star components did not converge in {max_rounds} rounds"
+        )
+    labels = ed.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    return (
+        ids.join(labels, on="id", how="left")
+        .select("id", F.coalesce("component", "id").alias("component"))
+    )
+
+
 def canonical_docs(
     docs: DataFrame,
     components: DataFrame,
@@ -342,8 +423,15 @@ def canonical_docs(
     """Pick one canonical document per duplicate component: the longest
     text (ties: min id), or by ``order_col`` descending. Docs without a
     component row are their own canonical. Output: docs + ``component``
-    + ``is_canonical``."""
-    from pyspark.sql.window import Window
+    + ``is_canonical``.
+
+    Skew-proof by construction: the winner per component is a
+    ``max_by`` AGGREGATE (partial map-side combine) joined back, not a
+    per-component window — a degenerate mega-component (the classic
+    empty-string/boilerplate cluster in real corpora) costs a combined
+    hash-agg, never one single-partition sort. Pinned by a 10^6-row
+    single-component test."""
+    from pyspark.sql.types import NumericType
 
     joined = docs.join(
         components.withColumnRenamed("id", id_col), on=id_col, how="left"
@@ -351,9 +439,26 @@ def canonical_docs(
     rank_by = (
         F.col(order_col) if order_col is not None else F.length("text")
     )
-    w = Window.partitionBy("component").orderBy(
-        rank_by.desc(), F.col(id_col).asc()
-    )
-    return joined.withColumn(
-        "is_canonical", F.row_number().over(w) == 1
+    if isinstance(docs.schema[id_col].dataType, NumericType):
+        # one pass: max of (rank, -id) lexicographic == rank desc, id asc
+        win = joined.groupBy("component").agg(
+            F.max_by(
+                F.col(id_col),
+                F.struct(rank_by.alias("r"), (-F.col(id_col)).alias("t")),
+            ).alias("_win_id")
+        )
+    else:
+        # non-negatable ids: two-phase (max rank, then min id among ties)
+        best = joined.groupBy("component").agg(F.max(rank_by).alias("_r"))
+        win = (
+            joined.join(best, on="component")
+            .filter(rank_by.eqNullSafe(F.col("_r")))
+            .groupBy("component")
+            .agg(F.min(F.col(id_col)).alias("_win_id"))
+        )
+    cols = joined.columns
+    return (
+        joined.join(win, on="component")
+        .withColumn("is_canonical", F.col(id_col) == F.col("_win_id"))
+        .select(*cols, "is_canonical")
     )

@@ -515,6 +515,7 @@ def _op_components(dfs, st):
         a=st.params.get("a", "id_a"),
         b=st.params.get("b", "id_b"),
         max_rounds=int(st.params.get("max_rounds", 50)),
+        method=st.params.get("method", "label"),
     )
 
 

@@ -283,3 +283,123 @@ def test_ivf_table_centroids_equals_literal(spark):
     # the literal plan embeds 256 centroid arrays; the table plan must
     # be dramatically smaller and stay flat as n_cells grows
     assert len(plan_tab) < len(plan_lit) / 3, (len(plan_tab), len(plan_lit))
+
+
+def test_canonical_docs_agg_equals_window(spark):
+    """The max_by-aggregate winner selection must match a reference
+    per-component window rank (longest text, ties min id) on random
+    data, including all-null order values and string ids (two-phase
+    path)."""
+    import random
+
+    from pyspark.sql.window import Window
+
+    from gmql_spark.operators.dedup import canonical_docs
+
+    rng = random.Random(17)
+    rows = [
+        (i, "x" * rng.randint(0, 20), rng.randint(0, 30))
+        for i in range(300)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, comp long")
+    comps = docs.select(F.col("doc_id").alias("id"), F.col("comp").alias("component"))
+    got = canonical_docs(docs.drop("comp"), comps)
+
+    w = Window.partitionBy("component").orderBy(
+        F.length("text").desc(), F.col("doc_id").asc()
+    )
+    exp = (
+        docs.drop("comp")
+        .join(comps.withColumnRenamed("id", "doc_id"), on="doc_id", how="left")
+        .withColumn("component", F.coalesce(F.col("component"), F.col("doc_id")))
+        .withColumn("is_canonical", F.row_number().over(w) == 1)
+    )
+    g = {(r.doc_id, r.component, r.is_canonical) for r in got.collect()}
+    e = {(r.doc_id, r.component, r.is_canonical) for r in exp.collect()}
+    assert g == e
+
+    # string ids -> the two-phase tie-break path, same winners by min id
+    sdocs = spark.createDataFrame(
+        [(f"d{i:03d}", "y" * (i % 4)) for i in range(40)], "doc_id string, text string"
+    )
+    scomps = spark.createDataFrame(
+        [(f"d{i:03d}", "c0") for i in range(40)], "id string, component string"
+    )
+    sgot = canonical_docs(sdocs, scomps)
+    winners = [r.doc_id for r in sgot.filter("is_canonical").collect()]
+    assert winners == ["d003"]  # longest text (3 chars), min id among ties
+
+
+def test_canonical_docs_mega_component_skew(spark):
+    """10^6 docs in ONE component: the aggregate path must finish with
+    no single-partition sort (the old window would put all 10^6 rows in
+    one sort partition) and pick the right winner."""
+    from gmql_spark.operators.dedup import canonical_docs
+
+    docs = (
+        spark.range(1_000_000)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.repeat(F.lit("z"), (F.col("id") % 50).cast("int")).alias("text"),
+        )
+    )
+    comps = docs.select(F.col("doc_id").alias("id"), F.lit(0).alias("component"))
+    got = canonical_docs(docs, comps)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    win = got.filter("is_canonical").collect()
+    # longest text = 49 repeats, min id with len 49 is doc 49
+    assert [r.doc_id for r in win] == [49]
+    assert got.count() == 1_000_000
+
+
+def test_star_components_equal_label_propagation(spark):
+    """large-star/small-star must produce identical (id, component=min)
+    labels as min-label propagation on random graphs (with isolated
+    nodes), while converging in O(log n) rounds."""
+    import random
+
+    from gmql_spark.operators.dedup import dedup_components
+
+    rng = random.Random(23)
+    ids = list(range(0, 400, 3))
+    rng.shuffle(ids)
+    pairs = []
+    # random clusters of varying size + some chains
+    i = 0
+    while i + 1 < len(ids):
+        size = rng.randint(1, 8)
+        grp = ids[i : i + size]
+        for x, y in zip(grp, grp[1:]):
+            pairs.append((x, y) if rng.random() < 0.5 else (y, x))
+        i += size
+    edges = spark.createDataFrame(pairs, "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in ids], "id_a long")
+
+    lab = {
+        (r.id, r.component)
+        for r in dedup_components(edges, nodes=nodes, method="label").collect()
+    }
+    star = {
+        (r.id, r.component)
+        for r in dedup_components(edges, nodes=nodes, method="star").collect()
+    }
+    assert star == lab
+
+
+def test_star_components_path_graph_beats_round_bound(spark):
+    """A 120-node path has diameter 119: min-label cannot converge in 20
+    rounds (raises loudly), the star alternation converges well inside
+    it — the documented reason 'star' exists."""
+    import pytest as _pytest
+
+    from gmql_spark.operators.dedup import dedup_components
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(119)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup_components(path, max_rounds=20, method="label")
+    got = dedup_components(path, max_rounds=20, method="star")
+    comps = {r.component for r in got.collect()}
+    assert comps == {0} and got.count() == 120

@@ -37,6 +37,7 @@ def asof_join(
     direction: str = "backward",
     suffix: str = "_right",
     tolerance_s: float | None = None,
+    salt_bucket_s: float | None = None,
 ) -> DataFrame:
     """For each left row, attach the most recent right row at-or-before
     its timestamp (``direction='backward'``; ``'forward'`` = next
@@ -50,11 +51,20 @@ def asof_join(
     e.g. 10⁸ rows. Mitigations, in preference order: (a) pre-compute the
     carried value at ingest (``catalog.write_transcripts(
     precompute_gaps=True)`` removes this window from the rollup path
-    entirely); (b) range-salt the key by coarse time bucket and stitch
-    bucket boundaries with a per-(key, bucket) edge frame — the pattern
-    ``operators.cover._keyless_neighbors`` implements. The skew test
-    pins the single-hot-key case at 2×10⁵ rows.
+    entirely); (b) pass ``salt_bucket_s``: the RANGE-SALT path — the
+    window runs per (key, time-bucket) so a hot key's parallelism is
+    its bucket count, and bucket boundaries are stitched with a
+    per-(key, bucket) right-edge frame carried across buckets (the
+    ``cover._keyless_neighbors`` pattern, keyed). Equality-tested vs
+    the unsalted path (right timestamps must be per-key distinct for
+    bitwise tie equality) and pinned by a 5×10⁶-row single-key run the
+    unsalted window cannot balance.
     """
+    if salt_bucket_s is not None:
+        return _asof_join_salted(
+            left, right, keys, ts, right_cols, direction, suffix,
+            tolerance_s, salt_bucket_s,
+        )
     lcols = left.columns
     tagged_l = left.withColumn("_side", F.lit(1))
     rsel = [F.col(c).alias(f"{c}{suffix}") for c in right_cols]
@@ -97,6 +107,106 @@ def asof_join(
         null_right = [F.lit(None).alias(f"{c}{suffix}") for c in (ts, *right_cols)]
         kept = [F.when(within, F.col(f"{c}{suffix}")).alias(f"{c}{suffix}") for c in (ts, *right_cols)]
         out = out.select(*lcols, *kept)
+    return out
+
+
+def _asof_join_salted(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    right_cols: Sequence[str],
+    direction: str,
+    suffix: str,
+    tolerance_s: float | None,
+    salt_bucket_s: float,
+) -> DataFrame:
+    """Range-salted as-of: the union-window runs per (key, time-bucket)
+    — a hot key's rows spread over its buckets instead of one sort
+    partition — and each bucket's carry-in is patched from a tiny
+    per-(key, bucket) edge frame (one row per non-empty bucket, windowed
+    per key: the ``cover._keyless_neighbors`` stitch, keyed).
+
+    Per-COLUMN carry semantics match the unsalted window exactly: the
+    unsalted ``last(..., ignorenulls)`` carries EACH right column past
+    right rows where that column is null, so the edge frame keeps, per
+    column, the value of the latest right row where it is non-null."""
+    bucket_us = max(int(salt_bucket_s * 1e6), 1)
+    back = direction == "backward"
+    lcols = left.columns
+    tagged_l = left.withColumn("_side", F.lit(1))
+    rsel = [F.col(c).alias(f"{c}{suffix}") for c in right_cols]
+    tagged_r = right.select(*keys, F.col(ts), *rsel).withColumn("_side", F.lit(0))
+    for c in lcols:
+        if c not in (*keys, ts):
+            tagged_r = tagged_r.withColumn(c, F.lit(None))
+    for c in right_cols:
+        tagged_l = tagged_l.withColumn(f"{c}{suffix}", F.lit(None))
+    u = tagged_l.unionByName(tagged_r, allowMissingColumns=True)
+    us = F.unix_micros(F.col(ts))
+    u = u.withColumn("_tb", F.floor(us / F.lit(bucket_us)).cast("long"))
+
+    order = [F.col(ts).asc() if back else F.col(ts).desc(), F.col("_side").asc()]
+    w = Window.partitionBy(*keys, "_tb").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    carried_cols = [f"{ts}{suffix}", *[f"{c}{suffix}" for c in right_cols]]
+    src = {f"{ts}{suffix}": F.col(ts), **{f"{c}{suffix}": F.col(f"{c}{suffix}") for c in right_cols}}
+    local = u.select(
+        *lcols,
+        "_side",
+        "_tb",
+        *[
+            F.last(F.when(F.col("_side") == 0, src[cc]), ignorenulls=True)
+            .over(w)
+            .alias(cc)
+            for cc in carried_cols
+        ],
+    )
+
+    # per-(key, bucket) right edges, one value per carried column: the
+    # latest (backward) / earliest (forward) right row where THAT column
+    # is non-null (max_by/min_by skip null ordering keys)
+    r_b = tagged_r.withColumn(
+        "_tb", F.floor(F.unix_micros(F.col(ts)) / F.lit(bucket_us)).cast("long")
+    )
+    pick = F.max_by if back else F.min_by
+    r_us = F.unix_micros(F.col(ts))
+    edge = r_b.groupBy(*keys, "_tb").agg(
+        *[
+            pick(src[cc], F.when(src[cc].isNotNull(), r_us)).alias(f"_edge_{i}")
+            for i, cc in enumerate(carried_cols)
+        ]
+    )
+    spine = u.select(*keys, "_tb").distinct()
+    w_sp = Window.partitionBy(*keys).orderBy(
+        F.col("_tb").asc() if back else F.col("_tb").desc()
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    carry = spine.join(edge, on=[*keys, "_tb"], how="left").select(
+        *keys,
+        "_tb",
+        *[
+            F.last(f"_edge_{i}", ignorenulls=True).over(w_sp).alias(f"_carry_{i}")
+            for i in range(len(carried_cols))
+        ],
+    )
+    out = local.filter(F.col("_side") == 1).join(carry, on=[*keys, "_tb"], how="left")
+    out = out.select(
+        *lcols,
+        *[
+            F.coalesce(F.col(cc), F.col(f"_carry_{i}")).alias(cc)
+            for i, cc in enumerate(carried_cols)
+        ],
+    )
+    if tolerance_s is not None:
+        within = (
+            F.abs(F.unix_micros(F.col(ts)) - F.unix_micros(F.col(f"{ts}{suffix}")))
+            <= int(tolerance_s * 1e6)
+        )
+        out = out.select(
+            *lcols,
+            *[F.when(within, F.col(cc)).alias(cc) for cc in carried_cols],
+        )
     return out
 
 

@@ -149,3 +149,109 @@ def test_compact_partitions(spark, tmp_path):
         before_rows.sort_values(key).reset_index(drop=True)[sorted(before_rows.columns)],
         after_rows.sort_values(key).reset_index(drop=True)[sorted(after_rows.columns)],
     )
+
+
+# ------------------------------- range-salt paths (round 4)
+
+
+def test_asof_salted_equals_unsalted(spark):
+    """salt_bucket_s asof == unsalted on mixed skewed data: many keys,
+    gaps larger than the bucket (carry-in must stitch across several
+    empty buckets), null right attributes (per-column carry), both
+    directions, and tolerance."""
+    import random
+
+    from gmql_spark.operators.join import asof_join
+
+    rng = random.Random(41)
+    lrows, rrows = [], []
+    for k in ("a", "b", "hot"):
+        n = 400 if k == "hot" else 40
+        t = 0
+        for i in range(n):
+            t += rng.randint(1, 7200)  # gaps up to 2h vs 600s buckets
+            lrows.append((k, t * 1_000_000, len(lrows)))
+        t = 3
+        for i in range(n):
+            t += rng.randint(1, 9000)
+            # sprinkle null attribute values to exercise per-column carry
+            rrows.append((k, t * 1_000_000, None if i % 5 == 0 else i))
+    left = spark.createDataFrame(lrows, "k string, us long, lid long").select(
+        "k", F.timestamp_micros("us").alias("ts"), "lid"
+    )
+    right = spark.createDataFrame(rrows, "k string, us long, val long").select(
+        "k", F.timestamp_micros("us").alias("ts"), "val"
+    )
+
+    for direction in ("backward", "forward"):
+        for tol in (None, 1800.0):
+            base = asof_join(
+                left, right, keys=["k"], ts="ts", right_cols=("val",),
+                direction=direction, tolerance_s=tol,
+            )
+            salted = asof_join(
+                left, right, keys=["k"], ts="ts", right_cols=("val",),
+                direction=direction, tolerance_s=tol, salt_bucket_s=600.0,
+            )
+            b = {tuple(r) for r in base.collect()}
+            s = {tuple(r) for r in salted.collect()}
+            assert s == b, (direction, tol, len(s ^ b))
+
+
+def test_sessionize_salted_equals_unsalted(spark):
+    """salt_bucket_s sessionize == unsalted (same idx/start/end/count):
+    sessions spanning many buckets, singleton sessions, sessions exactly
+    at bucket edges."""
+    import random
+
+    from gmql_spark.operators.session import sessionize
+
+    rng = random.Random(43)
+    rows = []
+    for k in ("x", "y", "hot"):
+        n = 600 if k == "hot" else 60
+        t = rng.randint(0, 120)
+        for _ in range(n):
+            # 70% short gaps (same session), 30% > timeout
+            t += rng.randint(1, 120) if rng.random() < 0.7 else rng.randint(
+                1900, 30000
+            )
+            rows.append((k, t * 1_000_000))
+    df = spark.createDataFrame(rows, "conv_id string, us long").select(
+        "conv_id", F.timestamp_micros("us").alias("ts")
+    )
+    base = sessionize(df, gap_timeout_s=1800.0)
+    salted = sessionize(df, gap_timeout_s=1800.0, salt_bucket_s=600.0)
+    b = {tuple(r) for r in base.collect()}
+    s = {tuple(r) for r in salted.collect()}
+    assert s == b, len(s ^ b)
+
+
+def test_asof_salted_hot_key_5m(spark):
+    """5x10^6-row single key through the salted path: parallelism =
+    bucket count (the unsalted window would sort all rows in ONE
+    partition). Grid-aligned rights give a closed-form expected match."""
+    from gmql_spark.operators.join import asof_join
+
+    n = 5_000_000
+    left = spark.range(n).select(
+        F.lit("hot").alias("k"),
+        F.timestamp_micros((F.col("id") * 1_000_000 + 500_000).cast("long")).alias("ts"),
+    )
+    right = spark.range(n // 100).select(
+        F.lit("hot").alias("k"),
+        F.timestamp_micros((F.col("id") * 100_000_000).cast("long")).alias("ts"),
+    )
+    out = asof_join(
+        left, right, keys=["k"], ts="ts", right_cols=(), salt_bucket_s=3600.0
+    )
+    # every left ts floors to the previous 100s grid point
+    bad = out.filter(
+        F.col("ts_right").isNull()
+        | (
+            F.unix_micros("ts_right")
+            != (F.unix_micros("ts") / 100_000_000).cast("long") * 100_000_000
+        )
+    ).count()
+    assert bad == 0
+    assert out.count() == n

@@ -134,3 +134,37 @@ def test_spark_roundtrip(spark):
         "sum(n_points) as n", "sum(length(ts_bytes) + length(val_bytes)) as b"
     ).collect()[0]
     assert sizes.b < sizes.n * 16
+
+
+def test_decode_walk_high_entropy_and_edge_classes():
+    """The tight-walk decoders (single-grab headers, tolist words) must
+    roundtrip streams that exercise every token class densely: random
+    walks (full-mantissa xors, '11' headers with nsig up to 64),
+    window-reuse '10' runs, 64-bit raw dods (> 2048 jumps), and
+    zero-runs crossing word boundaries."""
+    import numpy as np
+
+    from gmql_spark.compression.gorilla import (
+        decode_timestamps,
+        decode_values,
+        encode_timestamps,
+        encode_values,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(9))
+    n = 100_000
+    vals = np.cumsum(rng.standard_normal(n))
+    # splice in repeats (zero-runs) and exact repeats at word-odd offsets
+    vals[1000:1300] = vals[999]
+    vals[77:80] = vals[76]
+    vb = encode_values(vals)
+    assert np.array_equal(decode_values(vb, n).view(np.uint64), vals.view(np.uint64))
+
+    # timestamps: mix regular cadence, small jitter, and huge raw dods
+    gaps = rng.integers(1, 5_000_000, n)
+    gaps[::97] = 60_000_000
+    gaps[5000:6000] = 60_000_000  # constant-cadence zero-run
+    gaps[::1009] = int(3e13)      # forces the '1111' 64-bit class
+    ts = np.cumsum(gaps).astype(np.int64)
+    tb = encode_timestamps(ts)
+    assert np.array_equal(decode_timestamps(tb, n), ts)

@@ -396,6 +396,7 @@ def interval_join(
     distinct: bool = False,
     suffix: str = "_r",
     min_distance_s: float | None = None,
+    wildcard_keys: Sequence[str] = (),
 ) -> DataFrame:
     """Interval overlap/proximity join with GMQL region-builder output
     variants (``GenometricJoin.scala:345-372``,
@@ -431,10 +432,24 @@ def interval_join(
       greatest(starts)/least(ends) — GMQL INT.
     - ``'contig'``: adds ``contig_start``/``contig_end`` =
       least(starts)/greatest(ends) — GMQL CONTIG.
+
+    ``wildcard_keys``: GMQL's 3-valued strand matching
+    (``GenometricJoin.scala:123``: ``l.strand=='*' || r.strand=='*' ||
+    l.strand==r.strand``) generalized to any dimension — listed keys
+    match when equal OR either side holds the ``'*'`` wildcard. They are
+    RESIDUAL predicates, not equi-join keys (a ``'*'`` row must meet
+    every bucket partner), exactly like the reference checks strand
+    after its (bin, chrom) join; the join stays an equi-join on (bucket
+    + the remaining ``keys``). Both output sides keep their own column
+    (right suffixed) since the matched values may differ.
     """
     if builder not in BUILDERS:
         raise ValueError(f"builder must be one of {BUILDERS}")
     keys = list(keys)
+    wildcard_keys = list(wildcard_keys)
+    overlap = set(keys) & set(wildcard_keys)
+    if overlap:
+        raise ValueError(f"keys and wildcard_keys overlap: {sorted(overlap)}")
     bucket_us = max(int(bucket_s * 1e6), 1)
     dist_us = int(max_distance_s * 1e6)
 
@@ -485,6 +500,13 @@ def interval_join(
         )
         ref_dist = F.when(disjoint, edge_min).otherwise(-edge_min)
         cond.append(ref_dist > int(min_distance_s * 1e6))
+    for wk in wildcard_keys:
+        rname = ren.get(wk, wk)
+        cond.append(
+            (lb[wk] == rb[rname])
+            | (lb[wk] == F.lit("*"))
+            | (rb[rname] == F.lit("*"))
+        )
     j = lb.join(rb, cond, "inner").drop("_bucket", "_lb0", "_rb0")
     for kk in keys:  # keep the left copy of each join key only
         j = j.drop(rb[kk])

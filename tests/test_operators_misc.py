@@ -378,3 +378,56 @@ def test_join_conditions_validation(spark):
         )
     with pytest.raises(ValueError, match="dist_less"):
         join_conditions(df, df, keys=["k"], conditions=[("min_distance", 1)])
+
+
+def test_interval_join_wildcard_keys(spark):
+    """3-valued wildcard dims (GenometricJoin.scala:123 strand
+    semantics): '*' on either side matches anything; concrete values
+    must be equal. Residual predicate, not an equi key."""
+    from gmql_spark.operators.join import interval_join
+
+    lv = spark.createDataFrame(
+        [(1, "+", ts(0), ts(10)), (2, "-", ts(0), ts(10)), (3, "*", ts(0), ts(10))],
+        "lid long, strand string, start_ts timestamp, end_ts timestamp",
+    )
+    rv = spark.createDataFrame(
+        [(20, "+", ts(5), ts(15)), (21, "*", ts(5), ts(15))],
+        "rid long, strand string, start_ts timestamp, end_ts timestamp",
+    )
+    out = interval_join(lv, rv, keys=[], bucket_s=600.0, wildcard_keys=["strand"])
+    pairs = {(r.lid, r.rid) for r in out.collect()}
+    # +/+ match, -/+ no, */+ yes; everything matches the '*' right row
+    assert pairs == {(1, 20), (3, 20), (1, 21), (2, 21), (3, 21)}
+    with pytest.raises(ValueError, match="overlap"):
+        interval_join(lv, rv, keys=["strand"], wildcard_keys=["strand"])
+
+
+def test_strict_csv_ingest(spark, tmp_path):
+    """FAILFAST mode dies loudly on a malformed line (BedParser.scala
+    contract); quarantine mode splits good/bad in one pass."""
+    from gmql_spark.sources.text_ingest import read_transcripts_csv
+
+    good_csv = tmp_path / "good.csv"
+    good_csv.write_text(
+        "conv_id,turn_idx,role,text,tool,ts\n"
+        "c1,0,user,hello,,2026-01-01T00:00:00\n"
+        "c1,1,assistant,hi,,2026-01-01T00:00:05\n"
+    )
+    df = read_transcripts_csv(spark, str(good_csv))
+    rows = df.orderBy("turn_idx").collect()
+    assert [r.role for r in rows] == ["user", "assistant"]
+    assert rows[0].ts is not None and rows[0].turn_idx == 0
+
+    bad_csv = tmp_path / "bad.csv"
+    bad_csv.write_text(
+        "conv_id,turn_idx,role,text,tool,ts\n"
+        "c1,0,user,hello,,2026-01-01T00:00:00\n"
+        "c1,NOT_AN_INT,assistant,hi,,2026-01-01T00:00:05\n"
+    )
+    with pytest.raises(Exception, match="(?i)malformed|failfast"):
+        read_transcripts_csv(spark, str(bad_csv)).collect()
+
+    good, bad = read_transcripts_csv(spark, str(bad_csv), mode="quarantine")
+    assert good.count() == 1 and good.collect()[0].conv_id == "c1"
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 1 and "NOT_AN_INT" in bad_rows[0]._corrupt_record

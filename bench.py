@@ -31,6 +31,8 @@ BENCH_QUERIES = [
     "topk_per_user",
     "difference",
     "asof_join",
+    "ring_join",
+    "nearest_beyond",
     "cover_accumulation",
     "map_intervals",
     "dedup_exact",

@@ -7,16 +7,17 @@ import pytest
 
 
 def test_entry_contract_keys():
-    """Every oracle belongs to a query; the only oracle-less queries are
-    the documented non-SQL-expressible ones; names are snake_case."""
+    """Every oracle belongs to a query, EVERY query has an oracle (as of
+    round 4 the stub-decoder path is fixture-oracled too — the board is
+    all-exact); names are snake_case."""
     import __spark_entry__ as e
 
     qs, os_ = e.queries(), e.oracle_sql()
     assert set(os_) <= set(qs), set(os_) - set(qs)
     rows_only = set(qs) - set(os_)
-    assert rows_only == {"multimodal_features"}, rows_only
+    assert rows_only == set(), rows_only
     assert all(n == n.lower() and " " not in n for n in qs)
-    assert len(qs) >= 42 and len(os_) == len(qs) - 1
+    assert len(qs) >= 49 and len(os_) == len(qs)
 
 
 def test_resolve_cover_param():

@@ -354,6 +354,7 @@ def _op_asof(dfs, st):
         right_cols=cols if isinstance(cols, list) else [cols],
         direction=st.params.get("direction", "backward"),
         tolerance_s=float(st.params["tolerance"]) if "tolerance" in st.params else None,
+        salt_bucket_s=float(st.params["salt"]) if "salt" in st.params else None,
     )
 
 
@@ -541,6 +542,7 @@ def _op_sessionize(dfs, st):
         ts=st.params.get("ts", "ts"),
         gap_timeout_s=float(st.params.get("gap", 1800.0)),
         order=order if isinstance(order, list) else [order],
+        salt_bucket_s=float(st.params["salt"]) if "salt" in st.params else None,
     )
 
 

@@ -472,3 +472,24 @@ def test_script_ann_ivf_equals_direct(spark):
     with pytest.raises(GSLError, match="takes 3"):
         compile_script(spark, "V = IVF(k: 3) Q C; MATERIALIZE V;",
                        tables={"Q": q, "C": emb})
+
+
+def test_script_salted_equals_unsalted(spark, raw):
+    """ASOF/SESSIONIZE accept salt: (the hot-key range-salt path) and
+    must produce identical results to the unsalted statements."""
+    a = raw.filter(F.col("role") == "user").select("conv_id", "ts")
+    b = raw.filter(F.col("role") == "assistant").select("conv_id", "ts")
+    script = """
+        P = ASOF(key: 'conv_id') A B;
+        PS = ASOF(key: 'conv_id', salt: 600.0) A B;
+        S = SESSIONIZE(key: 'conv_id', gap: 120.0) A;
+        SS = SESSIONIZE(key: 'conv_id', gap: 120.0, salt: 600.0) A;
+        MATERIALIZE P; MATERIALIZE PS; MATERIALIZE S; MATERIALIZE SS;
+    """
+    m = compile_script(spark, script, tables={"A": a, "B": b}).materialized
+
+    def rows(df):
+        return {tuple(r) for r in df.collect()}
+
+    assert rows(m["PS"]) == rows(m["P"]) and len(rows(m["P"])) > 0
+    assert rows(m["SS"]) == rows(m["S"]) and len(rows(m["S"])) > 0

@@ -152,19 +152,17 @@ def encode_timestamps(ts_us: np.ndarray) -> bytes:
     for i in nz.tolist():
         if i > prev:
             w.write_zeros(i - prev)
+        # token = tag and payload fused into ONE write (same bit layout,
+        # half the writer calls — the encoder hot path is call overhead)
         dod = int(dods[i])
         if -63 <= dod <= 64:
-            w.write(0b10, 2)
-            w.write(dod + 63, 7)
+            w.write((0b10 << 7) | (dod + 63), 9)
         elif -255 <= dod <= 256:
-            w.write(0b110, 3)
-            w.write(dod + 255, 9)
+            w.write((0b110 << 9) | (dod + 255), 12)
         elif -2047 <= dod <= 2048:
-            w.write(0b1110, 4)
-            w.write(dod + 2047, 12)
+            w.write((0b1110 << 12) | (dod + 2047), 16)
         else:
-            w.write(0b1111, 4)
-            w.write(dod & _U64, 64)
+            w.write((0b1111 << 64) | (dod & _U64), 68)
         prev = i + 1
     if len(dods) > prev:
         w.write_zeros(len(dods) - prev)
@@ -279,20 +277,23 @@ def encode_values(vals: np.ndarray) -> bytes:
     for i in nz.tolist():
         if i > prev_i:
             w.write_zeros(i - prev_i)
+        # header and payload fused into ONE writer call per token (same
+        # bit layout; the per-call overhead was the encoder hot path)
         xor = int(xors[i])
         xl = 64 - xor.bit_length()  # leading zeros
         xt = (xor & -xor).bit_length() - 1  # trailing zeros
-        xl = min(xl, 31)
+        if xl > 31:
+            xl = 31
         if lead <= 64 and xl >= lead and xt >= trail:
-            w.write(0b10, 2)
-            w.write(xor >> trail, 64 - lead - trail)
+            nbits = 64 - lead - trail
+            w.write((0b10 << nbits) | (xor >> trail), 2 + nbits)
         else:
             lead, trail = xl, xt
             nsig = 64 - xl - xt
-            w.write(0b11, 2)
-            w.write(xl, 5)
-            w.write(nsig & 0x3F, 6)  # 64 encoded as 0 (nsig in 1..64)
-            w.write(xor >> trail, nsig)
+            w.write(
+                (((0b11 << 5 | xl) << 6 | (nsig & 0x3F)) << nsig) | (xor >> xt),
+                13 + nsig,
+            )
         prev_i = i + 1
     if len(xors) > prev_i:
         w.write_zeros(len(xors) - prev_i)

@@ -447,6 +447,40 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(F.col("id").alias("doc_id"), "component")
 
 
+def q_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.,
+    O(log n) rounds independent of diameter — the deep-chain opt-in)
+    over the same near-dup pairs as ``dedup_components``; identical
+    output contract (component = min id), so it shares the
+    recursive-CTE fixpoint oracle."""
+    from gmql_spark.operators.dedup import dedup_components, ngram_jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5, n=3)
+    comp = dedup_components(
+        pairs, nodes=docs.select(F.col("doc_id").alias("id_a")), method="star"
+    )
+    return comp.select(F.col("id").alias("doc_id"), "component")
+
+
+def q_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection (skew-proof max_by aggregate, no
+    per-component window): one keeper per exact-duplicate text group —
+    longest text, ties min doc_id (trivially the min id within an
+    exact-text group, but the oracle ranks the general way)."""
+    from gmql_spark.operators.dedup import canonical_docs
+
+    docs = _read(spark, sf_dir, "documents")
+    comps = (
+        docs.groupBy("text")
+        .agg(F.min("doc_id").alias("component"))
+        .join(docs.select("doc_id", "text"), on="text")
+        .select(F.col("doc_id").alias("id"), "component")
+    )
+    out = canonical_docs(docs, comps)
+    return out.select("doc_id", "component", "is_canonical")
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates, portable-md5 hash mode so the
     whole pipeline (signatures -> band buckets -> est_jaccard) is exactly
@@ -868,6 +902,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_components": q_dedup_components,
+        "components_star": q_components_star,
+        "canonical_pick": q_canonical_pick,
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
         "fingerprint": q_fingerprint,
@@ -1147,7 +1183,7 @@ def oracle_sql() -> dict[str, str]:
             FROM r0
         )
     """
-    return {
+    sql = {
         "rollup_1m": """
             SELECT user_id,
                    time_bucket(INTERVAL '1 minute', ts) AS window_start,
@@ -1756,3 +1792,20 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2, 3
         """,
     }
+    # star components share min-label's output contract (component =
+    # min id), so the same recursive-CTE fixpoint oracle applies
+    sql["components_star"] = sql["dedup_components"]
+    sql["canonical_pick"] = """
+        WITH comps AS (
+            SELECT text, min(doc_id) AS component FROM documents GROUP BY text
+        ), j AS (
+            SELECT d.doc_id, d.text, c.component
+            FROM documents d JOIN comps c ON d.text = c.text
+        )
+        SELECT doc_id, component,
+               row_number() OVER (
+                   PARTITION BY component
+                   ORDER BY length(text) DESC, doc_id ASC) = 1 AS is_canonical
+        FROM j
+    """
+    return sql

@@ -8,6 +8,8 @@ execution (the reference hand-schedules every operator on raw RDDs —
 
 from gmql_spark.operators.cover import accumulation, cover, flat_cover, summits  # noqa: F401
 from gmql_spark.operators.dedup import (  # noqa: F401
+    canonical_docs,
+    dedup_components,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -18,6 +20,7 @@ from gmql_spark.operators.gapfill import gapfill  # noqa: F401
 from gmql_spark.operators.join import (  # noqa: F401
     asof_join,
     interval_join,
+    join_conditions,
     nearest_k,
     range_join,
 )
@@ -39,5 +42,6 @@ from gmql_spark.operators.session import sessionize  # noqa: F401
 from gmql_spark.operators.similarity import (  # noqa: F401
     cosine_near_pairs,
     cosine_topk,
+    ivf_topk,
     lsh_bucket_topk,
 )

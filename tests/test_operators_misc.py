@@ -431,3 +431,90 @@ def test_strict_csv_ingest(spark, tmp_path):
     assert good.count() == 1 and good.collect()[0].conv_id == "c1"
     bad_rows = bad.collect()
     assert len(bad_rows) == 1 and "NOT_AN_INT" in bad_rows[0]._corrupt_record
+
+
+def test_join_conditions_matches_bruteforce(spark):
+    """Randomized chains vs a pure-python evaluator of the reference
+    semantics (strict dist bounds, direction ties-inclusive, rank-tie
+    MinDistance, ordered pre/post split). One Spark session, several
+    deterministic seeds."""
+    import random
+
+    from gmql_spark.operators.join import join_conditions
+
+    def brute(lrows, rrows, conds):
+        split = next(
+            (i for i, c in enumerate(conds) if c[0] == "min_distance"), len(conds)
+        )
+        pre, post = conds[:split], conds[split + 1 :]
+        k = conds[split][1] if split < len(conds) else None
+
+        def ok(c, d_us):
+            if c[0] == "dist_less":
+                return abs(d_us) < int(c[1] * 1e6)
+            if c[0] == "dist_greater":
+                return abs(d_us) > int(c[1] * 1e6)
+            if c[0] == "upstream":
+                return d_us >= 0
+            return d_us <= 0
+
+        out = set()
+        for eid, kk, lus in lrows:
+            cands = [
+                (lus - rus) for (rk, rus) in rrows
+                if rk == kk and all(ok(c, lus - rus) for c in pre)
+            ]
+            if k is not None and cands:
+                dists = sorted(abs(d) for d in cands)
+                kth = dists[min(k, len(dists)) - 1]
+                cands = [d for d in cands if abs(d) <= kth]
+            for d in cands:
+                if all(ok(c, d) for c in post):
+                    out.add((eid, d))
+        return out
+
+    atoms = [
+        ("dist_less", 900.0), ("dist_less", 3000.0), ("dist_greater", 60.0),
+        ("dist_greater", 300.0), ("upstream",), ("downstream",),
+        ("min_distance", 1), ("min_distance", 2),
+    ]
+    for seed in (1, 7, 13, 29):
+        rng = random.Random(seed)
+        lrows = [
+            (i, rng.choice("ab"), rng.randrange(0, 7200) * 1_000_000)
+            for i in range(40)
+        ]
+        rrows = [
+            (rng.choice("ab"), rng.randrange(0, 7200) * 1_000_000)
+            for _ in range(60)
+        ]
+        # build a valid chain: >=1 pre dist_less, <=1 min_distance
+        chain = [("dist_less", rng.choice([900.0, 3000.0]))]
+        chain += rng.sample(
+            [a for a in atoms if a[0] in ("dist_greater", "upstream", "downstream")],
+            rng.randrange(0, 2),
+        )
+        if rng.random() < 0.7:
+            chain.append(("min_distance", rng.choice([1, 2])))
+            chain += rng.sample(
+                [a for a in atoms if a[0] != "min_distance"], rng.randrange(0, 2)
+            )
+
+        left = spark.createDataFrame(
+            [(e, k, dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=us))
+             for e, k, us in lrows],
+            "event_id long, k string, ts timestamp",
+        )
+        right = spark.createDataFrame(
+            [(k, dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=us))
+             for k, us in rrows],
+            "k string, ts timestamp",
+        )
+        got = {
+            (r.event_id, int(round(r.distance_s * 1e6)))
+            for r in join_conditions(
+                left, right, keys=["k"], conditions=chain, left_id="event_id"
+            ).collect()
+        }
+        exp = brute(lrows, rrows, [tuple(c) for c in chain])
+        assert got == exp, (seed, chain, got ^ exp)

@@ -247,6 +247,46 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-key range-salt as-of path (salt_bucket_s: per-(key,
+    time-bucket) windows + keyed edge-frame carry) over the same inputs
+    as ``asof_join`` — identical semantics, so it shares the DuckDB
+    ASOF oracle."""
+    from gmql_spark.operators.join import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    out = asof_join(
+        purchases, clicks, keys=["user_id"], ts="ts", right_cols=(),
+        salt_bucket_s=3600.0,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_right").alias("click_ts"),
+        ((F.unix_micros("ts") - F.unix_micros("ts_right")) / F.lit(1e6)).alias("gap_s"),
+    )
+
+
+def q_sessions_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-salted sessionize (local sessions per (key, bucket) +
+    boundary interval merge) — identical output contract to
+    ``sessions``, sharing its oracle."""
+    from gmql_spark.operators.session import sessionize
+
+    ev = _read(spark, sf_dir, "events")
+    return sessionize(
+        ev.select("user_id", "ts", "event_id"),
+        key="user_id",
+        gap_timeout_s=1800.0,
+        salt_bucket_s=3600.0,
+    )
+
+
 def q_nearest_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinDistance(k>1) nearest-neighbor join (``GenometricJoin.scala:
     130-151``): for each purchase, the 3 nearest clicks of the same user
@@ -890,6 +930,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semijoin": q_semijoin,
         "difference": q_difference,
         "asof_join": q_asof_join,
+        "asof_salted": q_asof_salted,
+        "sessions_salted": q_sessions_salted,
         "nearest_k": q_nearest_k,
         "ring_join": q_ring_join,
         "nearest_beyond": q_nearest_beyond,
@@ -1795,6 +1837,10 @@ def oracle_sql() -> dict[str, str]:
     # star components share min-label's output contract (component =
     # min id), so the same recursive-CTE fixpoint oracle applies
     sql["components_star"] = sql["dedup_components"]
+    # the range-salt paths are semantics-preserving alternatives, so the
+    # unsalted oracles apply verbatim
+    sql["asof_salted"] = sql["asof_join"]
+    sql["sessions_salted"] = sql["sessions"]
     sql["canonical_pick"] = """
         WITH comps AS (
             SELECT text, min(doc_id) AS component FROM documents GROUP BY text

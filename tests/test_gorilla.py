@@ -168,3 +168,49 @@ def test_decode_walk_high_entropy_and_edge_classes():
     ts = np.cumsum(gaps).astype(np.int64)
     tb = encode_timestamps(ts)
     assert np.array_equal(decode_timestamps(tb, n), ts)
+
+
+def test_read_series_range_zone_map_prune(spark):
+    """Packed rows carry ts_min_us/ts_max_us zone maps; a range read
+    must decode only overlapping streams and equal decode-all + filter."""
+    import datetime as dt
+
+    from gmql_spark.compression.gorilla import (
+        compress_series,
+        decompress_series,
+        read_series_range,
+    )
+
+    # 3 conversations in disjoint hour bands
+    rows = []
+    for c in range(3):
+        base = dt.datetime(2026, 1, 1, 2 * c)
+        rows += [
+            (f"conv{c}", base + dt.timedelta(minutes=m), float(m)) for m in range(60)
+        ]
+    df = spark.createDataFrame(rows, "conv_id string, window_start timestamp, val double")
+    packed = compress_series(df, keys=["conv_id"], ts_col="window_start", value_col="val").cache()
+    assert {"ts_min_us", "ts_max_us"} <= set(packed.columns)
+
+    start, end = dt.datetime(2026, 1, 1, 2), dt.datetime(2026, 1, 1, 2, 30)
+    # prune: only conv1's band overlaps [02:00, 02:30)
+    lo = int(start.timestamp() * 1e6)
+    hi = int(end.timestamp() * 1e6)
+    n_pruned = packed.filter(
+        (packed.ts_min_us < hi) & (packed.ts_max_us >= lo)
+    ).count()
+    assert n_pruned == 1
+
+    got = (
+        read_series_range(packed, start, end, keys=["conv_id"])
+        .toPandas().sort_values(["conv_id", "window_start"]).reset_index(drop=True)
+    )
+    exp = (
+        decompress_series(packed, keys=["conv_id"])
+        .filter(f"window_start >= timestamp'{start}' and window_start < timestamp'{end}'")
+        .toPandas().sort_values(["conv_id", "window_start"]).reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, exp)
+    assert set(got.conv_id) == {"conv1"} and len(got) == 30

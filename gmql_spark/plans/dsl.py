@@ -532,6 +532,28 @@ def _op_compress(dfs, st):
     )
 
 
+def _op_decompress(dfs, st):
+    """DECOMPRESS — unpack Gorilla streams; with ``start:``/``end:`` the
+    zone-map range read (streams pruned on ts_min_us/ts_max_us before
+    any decode)."""
+    import datetime as _dt
+
+    from gmql_spark.compression.gorilla import decompress_series, read_series_range
+
+    keys = st.params.get("key", ["conv_id"])
+    keys = keys if isinstance(keys, list) else [keys]
+    if "start" in st.params or "end" in st.params:
+        if not ("start" in st.params and "end" in st.params):
+            raise GSLError(f"line {st.pos}: DECOMPRESS needs both start: and end:")
+        return read_series_range(
+            dfs[0],
+            _dt.datetime.fromisoformat(str(st.params["start"])),
+            _dt.datetime.fromisoformat(str(st.params["end"])),
+            keys=keys,
+        )
+    return decompress_series(dfs[0], keys=keys)
+
+
 def _op_sessionize(dfs, st):
     from gmql_spark.operators.session import sessionize
 
@@ -681,6 +703,7 @@ OPS: dict[str, tuple] = {
     "DEDUP": (_op_dedup, 1),
     "COMPONENTS": (_op_components, 1),
     "COMPRESS": (_op_compress, 1),
+    "DECOMPRESS": (_op_decompress, 1),
     "MERGE": (_op_merge, 1),
     "SESSIONIZE": (_op_sessionize, 1),
 }

@@ -493,3 +493,32 @@ def test_script_salted_equals_unsalted(spark, raw):
 
     assert rows(m["PS"]) == rows(m["P"]) and len(rows(m["P"])) > 0
     assert rows(m["SS"]) == rows(m["S"]) and len(rows(m["S"])) > 0
+
+
+def test_script_compress_decompress_roundtrip(spark):
+    """COMPRESS -> DECOMPRESS round-trips through the script surface;
+    the ranged DECOMPRESS applies the zone-map read."""
+    import datetime as _dt
+
+    rows = [
+        ("c0", _dt.datetime(2026, 1, 1, 0, m), float(m)) for m in range(30)
+    ] + [
+        ("c1", _dt.datetime(2026, 1, 1, 5, m), float(m)) for m in range(30)
+    ]
+    t = spark.createDataFrame(rows, "conv_id string, window_start timestamp, val double")
+    script = """
+        P = COMPRESS(key: 'conv_id', ts: 'window_start', value: 'val') T;
+        U = DECOMPRESS(key: 'conv_id') P;
+        R = DECOMPRESS(key: 'conv_id',
+                       start: '2026-01-01T05:00:00', end: '2026-01-01T05:10:00') P;
+        MATERIALIZE U; MATERIALIZE R;
+    """
+    m = compile_script(spark, script, tables={"T": t}).materialized
+    u = m["U"].toPandas().sort_values(["conv_id", "window_start"]).reset_index(drop=True)
+    exp = (
+        t.withColumnRenamed("val", "value").toPandas()
+        .sort_values(["conv_id", "window_start"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(u, exp[u.columns])
+    r = m["R"].toPandas()
+    assert set(r.conv_id) == {"c1"} and len(r) == 10

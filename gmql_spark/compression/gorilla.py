@@ -433,23 +433,31 @@ def compress_series(
     )
 
     def _encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
-        rows = {k: [] for k in keys}
+        # groups are CONTIGUOUS in the sorted stream: find boundaries
+        # with one vectorized key-change scan and slice shared numpy
+        # arrays — pandas groupby cost ~100 µs/group dominated the
+        # encoder at warehouse group counts (measured ~2x whole-path)
+        key_arrs = [pdf[k].to_numpy() for k in keys]
+        n_rows = len(pdf)
+        change = np.zeros(n_rows, dtype=bool)
+        change[0] = True
+        for arr in key_arrs:
+            change[1:] |= arr[1:] != arr[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n_rows)
+        ts_all = pdf[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        vals_all = pdf[value_col].to_numpy(dtype=np.float64)
         n_pts, t_lo, t_hi, ts_b, val_b = [], [], [], [], []
-        for key_vals, g in pdf.groupby(keys, sort=False):
-            if not isinstance(key_vals, tuple):
-                key_vals = (key_vals,)
-            ts_us = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
-            vals = g[value_col].to_numpy(dtype=np.float64)
-            for k, v in zip(keys, key_vals):
-                rows[k].append(v)
-            n_pts.append(len(g))
-            t_lo.append(int(ts_us[0]))   # stream arrives ts-sorted
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            ts_us = ts_all[s:e]
+            n_pts.append(e - s)
+            t_lo.append(int(ts_us[0]))  # stream arrives ts-sorted
             t_hi.append(int(ts_us[-1]))
             ts_b.append(encode_timestamps(ts_us))
-            val_b.append(encode_values(vals))
+            val_b.append(encode_values(vals_all[s:e]))
         return pd.DataFrame(
             {
-                **rows,
+                **{k: arr[starts] for k, arr in zip(keys, key_arrs)},
                 "n_points": n_pts,
                 "ts_min_us": t_lo,
                 "ts_max_us": t_hi,

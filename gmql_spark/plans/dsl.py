@@ -451,6 +451,7 @@ def _op_join(dfs, st):
 
     keys = st.params.get("key", ["conv_id"])
     keys = keys if isinstance(keys, list) else [keys]
+    wc = st.params.get("wildcard", [])
     return interval_join(
         dfs[0], dfs[1], keys=keys,
         max_distance_s=float(st.params.get("dist", 0.0)),
@@ -460,6 +461,7 @@ def _op_join(dfs, st):
         min_distance_s=(
             float(st.params["min_dist"]) if "min_dist" in st.params else None
         ),
+        wildcard_keys=wc if isinstance(wc, list) else [wc],
     )
 
 

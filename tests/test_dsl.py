@@ -522,3 +522,22 @@ def test_script_compress_decompress_roundtrip(spark):
     pd.testing.assert_frame_equal(u, exp[u.columns])
     r = m["R"].toPandas()
     assert set(r.conv_id) == {"c1"} and len(r) == 10
+
+
+def test_script_join_wildcard(spark):
+    """JOIN wildcard: dims — '*' matches anything on either side."""
+    import datetime as _dt
+
+    t0 = _dt.datetime(2026, 1, 1)
+    lv = spark.createDataFrame(
+        [(1, "+", t0, t0 + _dt.timedelta(minutes=10)),
+         (2, "*", t0, t0 + _dt.timedelta(minutes=10))],
+        "lid long, strand string, start_ts timestamp, end_ts timestamp",
+    )
+    rv = spark.createDataFrame(
+        [(20, "-", t0 + _dt.timedelta(minutes=5), t0 + _dt.timedelta(minutes=15))],
+        "rid long, strand string, start_ts timestamp, end_ts timestamp",
+    )
+    script = "J = JOIN(key: [], wildcard: 'strand', bucket: 600.0) L R; MATERIALIZE J;"
+    out = compile_script(spark, script, tables={"L": lv, "R": rv}).materialized["J"]
+    assert {r.lid for r in out.collect()} == {2}  # only the '*' left row

@@ -465,6 +465,20 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-word-ish piece counting (operators.textstats.
+    bpe_ish_token_count): split at every alnum/non-alnum boundary, drop
+    empty and single-space pieces. Each non-alnum char is its own piece,
+    so the count equals (maximal alnum runs) + (non-space non-alnum
+    chars) — the lookaround-free formulation the RE2-based oracle uses."""
+    from gmql_spark.operators.textstats import bpe_ish_token_count
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", bpe_ish_token_count(F.col("text")).alias("n_pieces")
+    )
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-trigram Jaccard near-dup pairs (operators.dedup);
     restricted to doc_id < 2000 to bound the shingle join in the gate."""
@@ -942,6 +956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cover_accumulation": q_cover_accumulation,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
+        "token_count_bpe": q_token_count_bpe,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_components": q_dedup_components,
         "components_star": q_components_star,
@@ -1841,6 +1856,16 @@ def oracle_sql() -> dict[str, str]:
     # unsalted oracles apply verbatim
     sql["asof_salted"] = sql["asof_join"]
     sql["sessions_salted"] = sql["sessions"]
+    # RE2 has no lookarounds; the boundary-split count equals
+    # (maximal alnum runs) + (non-space non-alnum chars) exactly
+    sql["token_count_bpe"] = r"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[\pL\pN]+'))
+                    + (length(text)
+                       - length(regexp_replace(text, '[^\pL\pN ]', '', 'g')))
+                    AS BIGINT) AS n_pieces
+        FROM documents
+    """
     sql["canonical_pick"] = """
         WITH comps AS (
             SELECT text, min(doc_id) AS component FROM documents GROUP BY text

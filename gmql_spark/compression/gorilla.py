@@ -111,25 +111,6 @@ class _BitReader:
         w1 = int(self.words[wi + 1]) if wi + 1 < len(self.words) else 0
         return (hi << need) | (w1 >> (64 - need))
 
-    def count_zero_bits(self, limit: int) -> int:
-        """Consume and count consecutive '0' bits, up to ``limit`` —
-        word-at-a-time (leading-zero count), so a run of k zero flags
-        (repeated timestamps cadence / repeated values) costs O(k/64)
-        instead of k single-bit reads."""
-        n = 0
-        while n < limit:
-            pos = self.bitpos
-            wi, off = pos >> 6, pos & 63
-            w = int(self.words[wi]) if wi < len(self.words) else 0
-            chunk = (w << off) & _U64  # current bit aligned to MSB
-            avail = min(64 - off, limit - n)
-            lz = 64 - chunk.bit_length()
-            take = min(lz, avail)
-            n += take
-            self.bitpos += take
-            if take < avail:
-                break  # hit a '1' bit
-        return n
 
 
 def encode_timestamps(ts_us: np.ndarray) -> bytes:

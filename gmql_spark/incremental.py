@@ -93,11 +93,15 @@ def _current_version(root: str) -> str | None:
 
 
 def read_append_log(fact_path: str) -> list[dict]:
-    """The per-append manifest: one line per committed append with
-    {"version", "min_us", "max_us"} of the batch's event times. O(1)
-    bytes per append; this is what makes a SOUND realtime watermark
-    possible without forcing globally time-ordered ingest (see
-    ``pending_append_min_us``)."""
+    """The per-append manifest: one line per append with {"version",
+    "min_us", "max_us", "dates"} of the batch's event times / touched
+    event dates. O(dates) bytes per append; this is what makes a SOUND
+    realtime watermark possible without forcing globally time-ordered
+    ingest (see ``pending_append_min_us``). The line is written BEFORE
+    the CURRENT pointer swap: a crash in between leaves an entry for an
+    uncommitted version, which can only over-clamp (and the INTENT
+    marker flags the crash for the next append anyway) — the reverse
+    order would leave a committed append invisible to the clamp."""
     path = f"{_state_root(fact_path)}/{APPEND_LOG}"
     if not os.path.exists(path):
         return []
@@ -105,23 +109,43 @@ def read_append_log(fact_path: str) -> list[dict]:
         return [json.loads(line) for line in f if line.strip()]
 
 
-def pending_append_min_us(fact_path: str, covered_version: str | None) -> int | None:
-    """Min event ts (µs) over appends NOT yet covered by a tier refresh
-    (version strictly greater than ``covered_version``; None covers
-    nothing). Returns None when no append is pending.
+def pending_append_min_us(fact_path: str, manifest: dict | None) -> int | None:
+    """Min event ts (µs) over appends NOT fully reflected in the tiers
+    per the refresh ``manifest`` (``realtime.read_refresh_manifest``).
+    Returns None when nothing is pending.
+
+    An append is reflected iff EVERY event date it touched was refreshed
+    at a fact-state version >= the append's version
+    (``covered_dates``: date -> state version at that date's last
+    refresh). A partial refresh — ``refresh_tiers(dates=[D1])`` while a
+    pending append also touched D2 — therefore keeps the append pending
+    and the clamp in force; advancing a single global covered version
+    there would silently drop the D2 rows from realtime serving.
+    Entries or manifests predating the per-date record fall back to the
+    legacy global ``covered_version`` comparison.
 
     Soundness: append_transcripts only guarantees PER-CONVERSATION
     ordering, so a new or lagging conversation may land rows below the
-    refresh-time global max ts. Every un-refreshed row's ts is >= this
+    refresh-time global max ts. Every un-reflected row's ts is >= this
     value by construction, so clamping the serving watermark to it
     restores the realtime contract (every un-reflected raw row has
     ts >= frozen_until) without constraining ingest order."""
-    mins = [
-        e["min_us"]
-        for e in read_append_log(fact_path)
-        if e.get("min_us") is not None
-        and (covered_version is None or e["version"] > covered_version)
-    ]
+    manifest = manifest or {}
+    cov_dates = manifest.get("covered_dates") or {}
+    legacy = manifest.get("covered_version")
+    mins = []
+    for e in read_append_log(fact_path):
+        if e.get("min_us") is None:
+            continue
+        dates = e.get("dates")
+        if dates is None:  # legacy entry: only the global version exists
+            reflected = legacy is not None and e["version"] <= legacy
+        else:
+            reflected = all(
+                d in cov_dates and cov_dates[d] >= e["version"] for d in dates
+            )
+        if not reflected:
+            mins.append(e["min_us"])
     return min(mins) if mins else None
 
 
@@ -265,18 +289,21 @@ def append_transcripts(
         "conv_bucket"
     ).parquet(f"{root}/{next_v}")
 
+    touched_dates = [
+        r.d for r in batch.select(F.to_date(ts).alias("d")).distinct().collect()
+    ]
+
     # 3-6. INTENT-bracketed fact append + atomic pointer swap
     with open(_intent_file(root), "w") as f:
         json.dump({"version": next_v, "prev": cur}, f)
     write_transcripts(
         batch, fact_path, n_buckets=n_buckets, key=key, ts=ts, mode="append"
     )
-    ptr_tmp = _current_file(root) + ".tmp"
-    with open(ptr_tmp, "w") as f:
-        json.dump({"version": next_v, "n_buckets": n_buckets}, f)
-    os.replace(ptr_tmp, _current_file(root))
-    # per-append manifest line (still INTENT-bracketed: a crash before
-    # this line is detected loudly on the next append)
+    # per-append manifest line BEFORE the pointer swap: a crash between
+    # them leaves an entry for an uncommitted version (harmless — the
+    # realtime clamp can only over-clamp, and INTENT flags the crash);
+    # the reverse order would leave a COMMITTED append invisible to
+    # pending_append_min_us — the unsound case
     with open(f"{root}/{APPEND_LOG}", "a") as f:
         f.write(
             json.dumps(
@@ -284,15 +311,20 @@ def append_transcripts(
                     "version": next_v,
                     "min_us": int(lo_hi.lo) if lo_hi.lo is not None else None,
                     "max_us": int(lo_hi.hi) if lo_hi.hi is not None else None,
+                    "dates": sorted(str(d) for d in touched_dates),
                 }
             )
             + "\n"
         )
+    ptr_tmp = _current_file(root) + ".tmp"
+    with open(ptr_tmp, "w") as f:
+        json.dump({"version": next_v, "n_buckets": n_buckets}, f)
+    os.replace(ptr_tmp, _current_file(root))
     os.remove(_intent_file(root))
     if cur is not None:  # old version no longer referenced
         shutil.rmtree(f"{root}/{cur}", ignore_errors=True)
 
-    return [r.d for r in batch.select(F.to_date(ts).alias("d")).distinct().collect()]
+    return touched_dates
 
 
 def refresh_tiers(
@@ -358,6 +390,14 @@ def refresh_tiers(
     watermark_us = None
     if wm_row.wm is not None:
         watermark_us = record_refresh_watermark(
-            out_dir, int(wm_row.wm), covered_version=covered
+            out_dir,
+            int(wm_row.wm),
+            covered_version=covered,
+            # per-DATE coverage: these dates now reflect every fact row
+            # up to state version `covered`; an append is only fully
+            # reflected once ALL its touched dates carry a version >=
+            # its own (pending_append_min_us) — a partial-date refresh
+            # must not clear the clamp for appends it didn't cover
+            covered_dates={d: covered for d in dates} if covered else None,
         )
     return {"dates": dates, "rows": stats, "watermark_us": watermark_us}

@@ -65,18 +65,7 @@ def asof_join(
             left, right, keys, ts, right_cols, direction, suffix,
             tolerance_s, salt_bucket_s,
         )
-    lcols = left.columns
-    tagged_l = left.withColumn("_side", F.lit(1))
-    rsel = [F.col(c).alias(f"{c}{suffix}") for c in right_cols]
-    tagged_r = right.select(
-        *keys, F.col(ts), *rsel
-    ).withColumn("_side", F.lit(0))
-    for c in lcols:
-        if c not in (*keys, ts):
-            tagged_r = tagged_r.withColumn(c, F.lit(None))
-    for c in right_cols:
-        tagged_l = tagged_l.withColumn(f"{c}{suffix}", F.lit(None))
-    u = tagged_l.unionByName(tagged_r, allowMissingColumns=True)
+    u, lcols = _asof_union(left, right, keys, ts, right_cols, suffix)
 
     if direction == "backward":
         # right rows sort before left rows at equal ts so same-ts matches
@@ -110,6 +99,30 @@ def asof_join(
     return out
 
 
+def _asof_union(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    right_cols: Sequence[str],
+    suffix: str,
+) -> tuple[DataFrame, list]:
+    """The shared as-of preamble: tag sides, suffix right columns,
+    null-fill the non-shared columns, union. One definition so the
+    salted and unsalted paths (equality-tested against each other)
+    cannot silently diverge in schema construction."""
+    lcols = left.columns
+    tagged_l = left.withColumn("_side", F.lit(1))
+    rsel = [F.col(c).alias(f"{c}{suffix}") for c in right_cols]
+    tagged_r = right.select(*keys, F.col(ts), *rsel).withColumn("_side", F.lit(0))
+    for c in lcols:
+        if c not in (*keys, ts):
+            tagged_r = tagged_r.withColumn(c, F.lit(None))
+    for c in right_cols:
+        tagged_l = tagged_l.withColumn(f"{c}{suffix}", F.lit(None))
+    return tagged_l.unionByName(tagged_r, allowMissingColumns=True), lcols
+
+
 def _asof_join_salted(
     left: DataFrame,
     right: DataFrame,
@@ -133,16 +146,7 @@ def _asof_join_salted(
     column, the value of the latest right row where it is non-null."""
     bucket_us = max(int(salt_bucket_s * 1e6), 1)
     back = direction == "backward"
-    lcols = left.columns
-    tagged_l = left.withColumn("_side", F.lit(1))
-    rsel = [F.col(c).alias(f"{c}{suffix}") for c in right_cols]
-    tagged_r = right.select(*keys, F.col(ts), *rsel).withColumn("_side", F.lit(0))
-    for c in lcols:
-        if c not in (*keys, ts):
-            tagged_r = tagged_r.withColumn(c, F.lit(None))
-    for c in right_cols:
-        tagged_l = tagged_l.withColumn(f"{c}{suffix}", F.lit(None))
-    u = tagged_l.unionByName(tagged_r, allowMissingColumns=True)
+    u, lcols = _asof_union(left, right, keys, ts, right_cols, suffix)
     us = F.unix_micros(F.col(ts))
     u = u.withColumn("_tb", F.floor(us / F.lit(bucket_us)).cast("long"))
 
@@ -167,7 +171,9 @@ def _asof_join_salted(
     # per-(key, bucket) right edges, one value per carried column: the
     # latest (backward) / earliest (forward) right row where THAT column
     # is non-null (max_by/min_by skip null ordering keys)
-    r_b = tagged_r.withColumn(
+    r_b = right.select(
+        *keys, F.col(ts), *[F.col(c).alias(f"{c}{suffix}") for c in right_cols]
+    ).withColumn(
         "_tb", F.floor(F.unix_micros(F.col(ts)) / F.lit(bucket_us)).cast("long")
     )
     pick = F.max_by if back else F.min_by

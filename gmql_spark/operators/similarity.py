@@ -82,7 +82,7 @@ def cosine_near_pairs(
     method: str = "brute",
     n_planes: int = 8,
     n_tables: int = 8,
-    dim: int = 64,
+    dim: int | None = None,
     seed: int = 7,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (id_a < id_b) with
@@ -106,6 +106,8 @@ def cosine_near_pairs(
     elif method == "lsh":
         import numpy as np
 
+        if dim is None:
+            dim = _infer_dim(df, vec_col)
         rng = np.random.Generator(np.random.PCG64(seed))
         planes = rng.standard_normal((n_tables, n_planes, dim))
 
@@ -252,28 +254,35 @@ def _ivf_topk_table(
         .withColumn("_one", F.pmod(F.xxhash64("_cell"), F.lit(1)))
     )
 
-    def scored_cells(frame, idc, vc):
-        nrm = F.sqrt(_dot(F.col(vc), F.col(vc)))
-        e = frame.withColumn("_n", nrm).withColumn(
+    def scored_cells(frame, idc, vc, extra=()):
+        # per-cell score omits the ROW's own norm: a positive per-row
+        # constant cannot change the argmax / top-n_probe ordering, and
+        # dividing by it would cost one O(dim) fold per (row, cell)
+        e = frame.withColumn(
             "_one", F.pmod(F.xxhash64(F.col(idc)), F.lit(1))
         ).join(F.broadcast(cent), on="_one")
-        sim = _dot(F.col(vc), F.col("_cent")) / (F.col("_n") * F.col("_cnorm"))
-        return e.select(idc, vc, F.col("_cell"), sim.alias("_csim"))
+        sim = _dot(F.col(vc), F.col("_cent")) / F.col("_cnorm")
+        return e.select(idc, vc, *extra, F.col("_cell"), sim.alias("_csim"))
 
     # corpus assignment: aggregated argmax (ties to the LOWEST cell,
     # matching the literal mode's array_position-of-first-max) — an agg,
     # not a window, so partial combine keeps the exploded rows from
-    # shuffling corpus x n_cells
+    # shuffling corpus x n_cells. The row norm is computed ONCE here and
+    # carried through to the re-rank (not recomputed per candidate pair).
     c = scored_cells(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+        ).withColumn("_cn", F.sqrt(_dot(F.col("_cv"), F.col("_cv")))),
         "neighbor_id",
         "_cv",
+        extra=("_cn",),
     )
     assigned = c.groupBy("neighbor_id").agg(
         F.max_by(
             F.col("_cell"), F.struct(F.col("_csim").alias("s"), (-F.col("_cell")).alias("t"))
         ).alias("cell"),
         F.first("_cv").alias("_cv"),
+        F.first("_cn").alias("_cn"),
     )
     # query probing: top n_probe cells per query (query side is small)
     qs = scored_cells(
@@ -286,13 +295,12 @@ def _ivf_topk_table(
         qs.withColumn("_pr", F.row_number().over(w))
         .filter(F.col("_pr") <= n_probe)
         .select("query_id", "_qv", F.col("_cell").alias("cell"))
+        .withColumn("_qn", F.sqrt(_dot(F.col("_qv"), F.col("_qv"))))
     )
     cands = probed.join(assigned, on="cell").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
-    qn = F.sqrt(_dot(F.col("_qv"), F.col("_qv")))
-    cn = F.sqrt(_dot(F.col("_cv"), F.col("_cv")))
-    sim = _dot(F.col("_qv"), F.col("_cv")) / (qn * cn)
+    sim = _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
     scored = cands.select("query_id", "neighbor_id", sim.alias("sim"))
     out = topk_per_key(
         scored,
@@ -314,13 +322,24 @@ def centroids_to_table(spark, centroids) -> DataFrame:
     return spark.createDataFrame(rows, "cell int, centroid array<double>")
 
 
+def _infer_dim(df: DataFrame, vec_col: str) -> int:
+    """Embedding width from the data (one-row peek). A plane/vector
+    width mismatch is SILENT poison otherwise: ``zip_with`` null-pads
+    the shorter side, every dot/signature goes null, and the bucket
+    join matches nothing — zero results with no error."""
+    row = df.select(vec_col).first()
+    if row is None or row[0] is None:
+        return 1  # no rows -> result is empty regardless of the planes
+    return len(row[0])
+
+
 def lsh_bucket_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 5,
     n_planes: int = 16,
     n_tables: int = 4,
-    dim: int = 64,
+    dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
@@ -328,9 +347,16 @@ def lsh_bucket_topk(
     """Approximate top-k: random-hyperplane LSH (sign sketch) into
     ``n_tables`` bucket tables; exact cosine re-rank within candidate
     buckets. Recall < 1 by construction; candidates shrink the join by
-    ~2^n_planes per table."""
+    ~2^n_planes per table.
+
+    ``dim`` defaults to the corpus embedding width (one-row peek);
+    pass it explicitly only to pin a deterministic plane set across
+    runs (e.g. for an inlined-literal oracle) — a wrong value yields
+    empty results (see ``_infer_dim``)."""
     import numpy as np
 
+    if dim is None:
+        dim = _infer_dim(corpus, vec_col)
     rng = np.random.Generator(np.random.PCG64(seed))
     planes = rng.standard_normal((n_tables, n_planes, dim))
 

@@ -424,7 +424,9 @@ def _op_ann(dfs, st):
             dfs[0], dfs[1], k=k, id_col=idc, vec_col=vc,
             n_planes=int(st.params.get("planes", 16)),
             n_tables=int(st.params.get("tables", 4)),
-            dim=int(st.params.get("dim", 64)),
+            # None -> inferred from the corpus embedding width (a wrong
+            # explicit dim silently yields zero matches)
+            dim=int(st.params["dim"]) if "dim" in st.params else None,
             seed=int(st.params.get("seed", 7)),
         )
     raise GSLError(f"line {st.pos}: ANN method must be brute|lsh, got {method!r}")

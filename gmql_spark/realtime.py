@@ -233,22 +233,33 @@ def stitch_transcripts(
 # ------------------------------------------------- materialized path
 
 def record_refresh_watermark(
-    out_dir: str, watermark_us: int, covered_version: str | None = None
+    out_dir: str,
+    watermark_us: int,
+    covered_version: str | None = None,
+    covered_dates: dict | None = None,
 ) -> int:
-    """Advance (never regress) the tiers' refresh watermark and the
-    fact-state version it covers; returns the recorded watermark.
-    Called by ``incremental.refresh_tiers``."""
+    """Advance (never regress) the tiers' refresh watermark, the
+    fact-state version it covers, and the per-DATE coverage map
+    (date -> state version at that date's last refresh — what lets
+    ``incremental.pending_append_min_us`` keep partially-refreshed
+    appends pending); returns the recorded watermark. Called by
+    ``incremental.refresh_tiers``."""
     os.makedirs(out_dir, exist_ok=True)
     path = f"{out_dir}/{_WATERMARK_FILE}"
     prev = read_refresh_manifest(out_dir) or {}
     wm = max(watermark_us, prev.get("watermark_us") or watermark_us)
     versions = [v for v in (prev.get("covered_version"), covered_version) if v]
+    dates = dict(prev.get("covered_dates") or {})
+    for d, v in (covered_dates or {}).items():
+        d = str(d)
+        dates[d] = max(dates[d], v) if d in dates else v
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(
             {
                 "watermark_us": wm,
                 "covered_version": max(versions) if versions else None,
+                "covered_dates": dates,
             },
             f,
         )
@@ -257,13 +268,15 @@ def record_refresh_watermark(
 
 
 def read_refresh_manifest(out_dir: str) -> dict | None:
-    """{"watermark_us": int, "covered_version": str | None} or None."""
+    """{"watermark_us": int, "covered_version": str | None,
+    "covered_dates": {date: version}} or None."""
     path = f"{out_dir}/{_WATERMARK_FILE}"
     if not os.path.exists(path):
         return None
     with open(path) as f:
         man = json.load(f)
     man.setdefault("covered_version", None)
+    man.setdefault("covered_dates", {})
     return man
 
 
@@ -310,7 +323,7 @@ def realtime_rollup(
                 "frozen_until given — refresh_tiers has never run"
             )
         wm = man["watermark_us"]
-        pending = pending_append_min_us(fact_path, man["covered_version"])
+        pending = pending_append_min_us(fact_path, man)
         if pending is not None:
             wm = min(wm, pending)
         frozen_until = _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=wm)

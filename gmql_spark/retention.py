@@ -117,14 +117,21 @@ def compact_partitions(
         src = _os.path.join(table_path, leaf)
         stage = _os.path.join(stage_root, leaf)
         trash = _os.path.join(trash_root, leaf)
-        _shutil.rmtree(stage, ignore_errors=True)  # stale staging is harmless
+        _shutil.rmtree(stage, ignore_errors=True)  # THIS partition's stale staging
         spark.read.parquet(src).coalesce(1).write.mode("overwrite").parquet(stage)
         _os.makedirs(trash_root, exist_ok=True)
         _shutil.rmtree(trash, ignore_errors=True)
         _os.rename(src, trash)
         _os.rename(stage, src)
         _shutil.rmtree(trash)
-    if frag:
-        _shutil.rmtree(stage_root, ignore_errors=True)
-        _shutil.rmtree(trash_root, ignore_errors=True)
+    # Cleanup is strictly PER-PARTITION (each iteration removes only its
+    # own trash/stage): a blanket rmtree of the roots here would destroy
+    # the crash-recovery copies of a PREVIOUS interrupted run — the only
+    # remaining copies of a partition mid-swap. Remove the roots only
+    # when empty (rmdir refuses otherwise).
+    for root in (stage_root, trash_root):
+        try:
+            _os.rmdir(root)
+        except OSError:
+            pass
     return frag

@@ -341,7 +341,7 @@ def test_realtime_exact_with_late_new_conversation(spark, tmp_path, split_data):
     late_min = b_late.agg(F.min(F.unix_micros("ts"))).collect()[0][0]
     assert late_min < wm_naive, "fixture must exercise the unsound case"
     man = read_refresh_manifest(out)
-    assert pending_append_min_us(fact, man["covered_version"]) == late_min
+    assert pending_append_min_us(fact, man) == late_min
 
     for tier in ("1m", "1h"):
         got = _pdf(realtime_rollup(spark, fact, out, tier=tier))
@@ -366,9 +366,58 @@ def test_pending_clamp_releases_after_refresh(spark, tmp_path, split_data):
     refresh_tiers(spark, fact, out, dates=d2)
 
     man = read_refresh_manifest(out)
-    assert pending_append_min_us(fact, man["covered_version"]) is None
+    assert pending_append_min_us(fact, man) is None
     got = _pdf(realtime_rollup(spark, fact, out, tier="1h"))
     exp = _pdf(rollup(raw, "1h"))
     assert_pdf_equal(
         got, exp[got.columns], ["conv_id", "window_start"], float_cols=FLOATS
     )
+
+
+def test_partial_date_refresh_keeps_clamp(spark, tmp_path, split_data):
+    """An append touching TWO dates, followed by a refresh of only ONE
+    of them, must stay pending (per-date coverage): clearing the clamp
+    on a single global covered version would silently drop the
+    unrefreshed date's rows from realtime serving."""
+    from gmql_spark.incremental import pending_append_min_us
+    from gmql_spark.realtime import read_refresh_manifest
+
+    raw, _, _ = split_data
+    fact, out = str(tmp_path / "fact_pd"), str(tmp_path / "tiers_pd")
+    d1 = append_transcripts(spark, raw, fact, n_buckets=4)
+    refresh_tiers(spark, fact, out, dates=d1)
+
+    # late batch: a NEW conversation with rows on two distinct dates,
+    # both below the recorded watermark
+    lo = raw.agg(F.min("ts")).collect()[0][0]
+    t_a = lo + dt.timedelta(hours=1)
+    t_b = t_a + dt.timedelta(days=1)
+    template = raw.limit(1).collect()[0].asDict()
+    rows = []
+    for i, t in enumerate((t_a, t_b)):
+        r = dict(template)
+        r.update(conv_id="convLATE", turn_idx=i, ts=t)
+        rows.append(tuple(r[c] for c in raw.columns))
+    late = spark.createDataFrame(rows, raw.schema)
+    d2 = append_transcripts(spark, late, fact, n_buckets=4)
+    assert len(d2) == 2
+
+    # refresh ONE of the two touched dates only
+    refresh_tiers(spark, fact, out, dates=[d2[0]])
+    man = read_refresh_manifest(out)
+    pend = pending_append_min_us(fact, man)
+    late_min = late.agg(F.min(F.unix_micros("ts"))).collect()[0][0]
+    assert pend == late_min, "partially refreshed append must stay pending"
+
+    # and realtime stays exact (tail recomputes from the clamp)
+    full = raw.unionByName(late)
+    got = _pdf(realtime_rollup(spark, fact, out, tier="1h"))
+    exp = _pdf(rollup(full, "1h"))
+    assert_pdf_equal(
+        got, exp[got.columns], ["conv_id", "window_start"], float_cols=FLOATS
+    )
+
+    # refreshing the second date clears it
+    refresh_tiers(spark, fact, out, dates=[d2[1]])
+    man2 = read_refresh_manifest(out)
+    assert pending_append_min_us(fact, man2) is None

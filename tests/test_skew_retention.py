@@ -255,3 +255,43 @@ def test_asof_salted_hot_key_5m(spark):
     ).count()
     assert bad == 0
     assert out.count() == n
+
+
+def test_compact_preserves_prior_crash_recovery_copies(spark, tmp_path):
+    """A previous run's mid-swap crash leaves a partition ONLY in
+    _compact_trash/_compact_tmp; a later compaction of other partitions
+    must not delete those copies (they are the sole recovery source)."""
+    import os
+    import shutil
+
+    from gmql_spark.retention import compact_partitions
+
+    table = str(tmp_path / "tbl")
+    df = spark.range(100).selectExpr(
+        "id", "case when id % 2 = 0 then '2026-01-01' else '2026-01-02' end as window_date"
+    )
+    # fragment both partitions (several files each)
+    df.repartition(4).write.partitionBy("window_date").parquet(table)
+
+    # simulate run-1 crash on D1: leaf moved to trash (and a stage copy
+    # left behind), table missing the partition
+    d1, d2 = "window_date=2026-01-01", "window_date=2026-01-02"
+    os.makedirs(f"{table}/_compact_trash", exist_ok=True)
+    os.rename(f"{table}/{d1}", f"{table}/_compact_trash/{d1}")
+    shutil.copytree(f"{table}/_compact_trash/{d1}", f"{table}/_compact_tmp/{d1}")
+
+    # run 2 compacts the remaining partition
+    rewritten = compact_partitions(spark, table, min_files=1)
+    assert set(rewritten) == {"2026-01-02"}
+
+    # the crash-recovery copies survived
+    assert os.path.isdir(f"{table}/_compact_trash/{d1}")
+    assert os.path.isdir(f"{table}/_compact_tmp/{d1}")
+    # and recovery by rename restores the partition
+    os.rename(f"{table}/_compact_trash/{d1}", f"{table}/{d1}")
+    back = spark.read.parquet(table)
+    assert back.count() == 100
+    n_files = sum(
+        1 for f in os.listdir(f"{table}/{d2}") if f.endswith(".parquet")
+    )
+    assert n_files == 1  # D2 actually compacted

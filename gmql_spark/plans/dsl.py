@@ -817,6 +817,7 @@ def compile_script(
                 _dt.datetime.fromisoformat(st.params["end"]),
                 key=st.params.get("key", "conv_id"),
                 ts=st.params.get("ts", "ts"),
+                realtime=bool(st.params.get("realtime", False)),
             )
             continue
         if st.op == "RETENTION":

@@ -123,6 +123,7 @@ def stitch_range(
     raw_aggs: Sequence,
     merge_aggs: Sequence,
     ts: str = "ts",
+    frozen_until: _dt.datetime | None = None,
 ) -> DataFrame:
     """One aggregate row per key over an arbitrary [start, end) range,
     stitched from the coarsest tiers that fit (``decompose_range``).
@@ -133,15 +134,32 @@ def stitch_range(
     (sum/min/max/count-as-sum), e.g. ``F.sum("n").alias("n")``. Exact
     for mergeable stats; percentiles want the lat_hist sketch columns.
 
+    ``frozen_until``: the tiers' serving watermark when they may be
+    STALE (un-refreshed appends) — the same contract as
+    ``serve_realtime``. Tier rows are only trusted for windows ending
+    at or before it: the range past ``floor(frozen_until, 1m)`` is
+    answered from raw instead (every tier segment then ends <= the
+    floor, so all its windows are fully frozen). Omitting it asserts
+    the tiers reflect every raw row in range.
+
     Plan shape: each segment is a partition-prunable filter + partial
     hash agg; the union is ≤7 tiny keyed frames re-aggregated once —
-    no raw scan beyond the two edge segments.
+    no raw scan beyond the two edge segments (plus the post-watermark
+    tail when ``frozen_until`` is set).
     """
     from functools import reduce
 
     keys = list(keys)
+    if frozen_until is not None:
+        cap = floor_to_tier(frozen_until, "1m")
+        cap = min(max(cap, start.replace(tzinfo=None)), end.replace(tzinfo=None))
+        segs = decompose_range(start, cap)
+        if cap < end.replace(tzinfo=None):
+            segs.append(("raw", cap, end.replace(tzinfo=None)))
+    else:
+        segs = decompose_range(start, end)
     parts: list[DataFrame] = []
-    for tier, s, e in decompose_range(start, end):
+    for tier, s, e in segs:
         if tier == "raw":
             seg = raw.filter((F.col(ts) >= F.lit(s)) & (F.col(ts) < F.lit(e)))
             parts.append(seg.groupBy(*keys).agg(*raw_aggs))
@@ -193,6 +211,7 @@ def stitch_transcripts(
     end: _dt.datetime,
     key: str = "conv_id",
     ts: str = "ts",
+    realtime: bool = False,
 ) -> DataFrame:
     """Transcript-schema stitch over materialized tiers: one row per
     conversation with the mergeable stats (turn_count, latency_cnt/sum,
@@ -202,7 +221,29 @@ def stitch_transcripts(
     ingest-time ``gap_us`` (gap to the previous turn, which may precede
     the range) — identical attribution on the tier and raw-edge sides,
     so the stitch is exact vs a one-pass aggregate of fact rows in
-    range."""
+    range.
+
+    ``realtime=True``: stay exact when the tiers are STALE — the range
+    past the recorded refresh watermark (clamped by pending appends,
+    ``incremental.pending_append_min_us``, exactly like
+    ``realtime_rollup``) is answered from raw instead of tier rows.
+    The default trusts the tiers for the whole range (a refresh after
+    every append, e.g. ``streaming.stream_ingest``)."""
+    frozen = None
+    if realtime:
+        from gmql_spark.incremental import pending_append_min_us
+
+        man = read_refresh_manifest(tiers_dir)
+        if man is None:
+            raise ValueError(
+                f"realtime stitch needs a refresh watermark under {tiers_dir} "
+                "— refresh_tiers has never run"
+            )
+        wm = man["watermark_us"]
+        pending = pending_append_min_us(fact_path, man)
+        if pending is not None:
+            wm = min(wm, pending)
+        frozen = _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=wm)
     tier_dfs = {}
     for tier in ("1m", "1h", "1d"):
         df = spark.read.parquet(f"{tiers_dir}/rollup_{tier}")
@@ -226,7 +267,7 @@ def stitch_transcripts(
     ]
     return stitch_range(
         tier_dfs, raw, start, end, keys=[key],
-        raw_aggs=raw_aggs, merge_aggs=merge_aggs, ts=ts,
+        raw_aggs=raw_aggs, merge_aggs=merge_aggs, ts=ts, frozen_until=frozen,
     )
 
 

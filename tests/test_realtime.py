@@ -421,3 +421,45 @@ def test_partial_date_refresh_keeps_clamp(spark, tmp_path, split_data):
     refresh_tiers(spark, fact, out, dates=[d2[1]])
     man2 = read_refresh_manifest(out)
     assert pending_append_min_us(fact, man2) is None
+
+
+def test_stitch_realtime_exact_with_stale_tiers(spark, tmp_path, split_data):
+    """stitch over STALE tiers: the default mode trusts tier rows and
+    silently misses un-refreshed appends; realtime=True answers the
+    range past the (pending-clamped) watermark from raw and stays
+    exact."""
+    from gmql_spark.realtime import stitch_transcripts
+
+    raw, b1, b2 = split_data
+    fact, out = str(tmp_path / "fact_sr"), str(tmp_path / "tiers_sr")
+    d1 = append_transcripts(spark, b1, fact, n_buckets=4)
+    refresh_tiers(spark, fact, out, dates=d1)
+    append_transcripts(spark, b2, fact, n_buckets=4)  # no refresh
+
+    lo, hi = raw.agg(F.min("ts"), F.max("ts")).collect()[0]
+    start = (lo + dt.timedelta(hours=2)).replace(second=11, microsecond=0)
+    end = (hi - dt.timedelta(minutes=7)).replace(second=43, microsecond=0)
+
+    def pdf(df):
+        return df.toPandas().sort_values("conv_id").reset_index(drop=True)
+
+    exp = pdf(
+        spark.read.parquet(fact)
+        .filter((F.col("ts") >= F.lit(start)) & (F.col("ts") < F.lit(end)))
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("turn_count"),
+            F.count("gap_us").alias("latency_cnt"),
+            F.sum("gap_us").alias("latency_sum_us"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+    got_rt = pdf(stitch_transcripts(spark, fact, out, start, end, realtime=True))
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got_rt, exp[got_rt.columns])
+
+    # the trusting default really is wrong on stale tiers (fewer turns)
+    got_stale = pdf(stitch_transcripts(spark, fact, out, start, end))
+    assert got_stale["turn_count"].sum() < exp["turn_count"].sum()

@@ -335,13 +335,17 @@ def refresh_tiers(
     tiers: Sequence[str] = ("1m", "1h", "1d"),
     key: str = "conv_id",
     ts: str = "ts",
+    with_sketches: bool = False,
 ) -> dict:
     """Recompute the tier rows of ``dates`` only (partition-pruned raw
     read + dynamic partition overwrite of the matching tier dates).
 
     Every window of every tier lies inside one UTC date, and the stored
     ``gap_us`` makes each window's stats independent of other dates —
-    so per-date recompute is exact."""
+    so per-date recompute is exact. ``with_sketches=True`` maintains the
+    mergeable sketch columns too: the finest tier computes them from
+    raw and the cascade carries them up automatically (they are
+    mergeable AND per-date independent — same argument)."""
     from gmql_spark.operators.rollup import rollup, rollup_tier_from
 
     from gmql_spark.realtime import record_refresh_watermark
@@ -367,8 +371,12 @@ def refresh_tiers(
             # stored gap_us, so with_gap_seconds only derives gap_s — no
             # raw-scale window shuffle
             if prev_df is None:
-                df = rollup(raw, tier, key=key, ts=ts, with_gaps=True)
+                df = rollup(
+                    raw, tier, key=key, ts=ts, with_gaps=True,
+                    with_sketches=with_sketches,
+                )
             else:
+                # sketch columns ride the cascade from the finer tier
                 df = rollup_tier_from(prev_df, raw, tier, key=key, ts=ts, with_gaps=True)
             out = df.withColumn("window_date", F.to_date("window_start"))
             out.write.mode("overwrite").partitionBy("window_date").parquet(path)

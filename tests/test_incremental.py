@@ -283,3 +283,39 @@ def test_append_refuses_n_buckets_mismatch(spark, tmp_path, split_data):
         append_transcripts(spark, b2, fact, n_buckets=8)
     # the original value still works
     append_transcripts(spark, b2, fact, n_buckets=4)
+
+
+def test_incremental_sketch_tiers_equal_oneshot(spark, tmp_path, split_data):
+    """refresh_tiers(with_sketches=True): incrementally maintained
+    sketch columns must equal a one-shot sketch rollup (the sketches
+    are mergeable and per-date independent like everything else)."""
+    from gmql_spark.operators.rollup import rollup
+
+    raw, b1, b2 = split_data
+    fact = str(tmp_path / "fact_sk")
+    out = str(tmp_path / "tiers_sk")
+    d1 = append_transcripts(spark, b1, fact, n_buckets=4)
+    refresh_tiers(spark, fact, out, dates=d1, tiers=("1m", "1h"), with_sketches=True)
+    d2 = append_transcripts(spark, b2, fact, n_buckets=4)
+    refresh_tiers(spark, fact, out, dates=d2, tiers=("1m", "1h"), with_sketches=True)
+
+    for tier in ("1m", "1h"):
+        got = (
+            spark.read.parquet(f"{out}/rollup_{tier}").drop("window_date")
+            .toPandas().sort_values(["conv_id", "window_start"]).reset_index(drop=True)
+        )
+        assert "lat_hist" in got.columns
+        exp = (
+            rollup(raw, tier, with_sketches=True)
+            .toPandas().sort_values(["conv_id", "window_start"]).reset_index(drop=True)
+        )
+        assert list(got.columns) == list(exp.columns) or set(got.columns) == set(exp.columns)
+        import pandas as pd
+
+        hist_g = [sorted(dict(h).items()) if h is not None else None for h in got["lat_hist"]]
+        hist_e = [sorted(dict(h).items()) if h is not None else None for h in exp["lat_hist"]]
+        assert hist_g == hist_e
+        pd.testing.assert_frame_equal(
+            got[["conv_id", "window_start", "turn_count"]],
+            exp[["conv_id", "window_start", "turn_count"]],
+        )

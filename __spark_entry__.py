@@ -465,6 +465,28 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment + nested stable sampling
+    (operators.sampling): stable id-hash buckets, never rand() — the
+    split must survive retries, repartitioning, and appends. The md5
+    bucket scheme is the engine's portable hash, so the oracle computes
+    the identical assignment."""
+    from gmql_spark.operators.sampling import deterministic_split, sample_fraction
+
+    docs = _read(spark, sf_dir, "documents")
+    out = deterministic_split(
+        docs, {"train": 0.9, "val": 0.05, "test": 0.05}, id_col="doc_id"
+    )
+    ten_pct = sample_fraction(docs, 0.1, id_col="doc_id").select(
+        F.col("doc_id").alias("s_id"), F.lit(True).alias("in_10pct")
+    )
+    return out.select("doc_id", "split").join(
+        ten_pct, out.doc_id == ten_pct.s_id, "left"
+    ).select(
+        "doc_id", "split", F.coalesce("in_10pct", F.lit(False)).alias("in_10pct")
+    )
+
+
 def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-word-ish piece counting (operators.textstats.
     bpe_ish_token_count): split at every alnum/non-alnum boundary, drop
@@ -957,6 +979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
+        "dataset_split": q_dataset_split,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_components": q_dedup_components,
         "components_star": q_components_star,
@@ -1852,6 +1875,23 @@ def oracle_sql() -> dict[str, str]:
     # star components share min-label's output contract (component =
     # min id), so the same recursive-CTE fixpoint oracle applies
     sql["components_star"] = sql["dedup_components"]
+    # identical md5 bucket arithmetic as operators.sampling.split_bucket
+    sql["dataset_split"] = """
+        WITH b AS (
+            SELECT doc_id,
+                   (('0x'||substr(md5(CAST(doc_id AS VARCHAR) || '#split'),1,15))::BIGINT)
+                       % 10000 AS sb,
+                   (('0x'||substr(md5(CAST(doc_id AS VARCHAR) || '#sample'),1,15))::BIGINT)
+                       % 10000 AS pb
+            FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN sb < 9000 THEN 'train'
+                    WHEN sb < 9500 THEN 'val'
+                    ELSE 'test' END AS split,
+               pb < 1000 AS in_10pct
+        FROM b
+    """
     # the range-salt paths are semantics-preserving alternatives, so the
     # unsalted oracles apply verbatim
     sql["asof_salted"] = sql["asof_join"]

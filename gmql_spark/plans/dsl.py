@@ -558,6 +558,36 @@ def _op_decompress(dfs, st):
     return decompress_series(dfs[0], keys=keys)
 
 
+def _op_split(dfs, st):
+    """SPLIT — deterministic train/val/test assignment by stable id
+    hash. Reserved params: ``id``/``seed``/``out``; every other param is
+    a named split weight, boundaries cumulative in statement order."""
+    from gmql_spark.operators.sampling import deterministic_split
+
+    reserved = ("id", "seed", "out")
+    weights = {k: float(v) for k, v in st.params.items() if k not in reserved}
+    return deterministic_split(
+        dfs[0],
+        weights,
+        id_col=st.params.get("id", "doc_id"),
+        seed=st.params.get("seed", "split"),
+        out_col=st.params.get("out", "split"),
+    )
+
+
+def _op_sample(dfs, st):
+    """SAMPLE — stable fractional subset by id hash (nested fractions
+    at one seed are supersets of smaller ones)."""
+    from gmql_spark.operators.sampling import sample_fraction
+
+    return sample_fraction(
+        dfs[0],
+        float(st.params.get("fraction", 0.1)),
+        id_col=st.params.get("id", "doc_id"),
+        seed=st.params.get("seed", "sample"),
+    )
+
+
 def _op_sessionize(dfs, st):
     from gmql_spark.operators.session import sessionize
 
@@ -710,6 +740,8 @@ OPS: dict[str, tuple] = {
     "DECOMPRESS": (_op_decompress, 1),
     "MERGE": (_op_merge, 1),
     "SESSIONIZE": (_op_sessionize, 1),
+    "SPLIT": (_op_split, 1),
+    "SAMPLE": (_op_sample, 1),
 }
 
 

@@ -403,3 +403,52 @@ def test_star_components_path_graph_beats_round_bound(spark):
     got = dedup_components(path, max_rounds=20, method="star")
     comps = {r.component for r in got.collect()}
     assert comps == {0} and got.count() == 120
+
+
+def test_deterministic_split_and_sampling(spark):
+    """Split properties a training pipeline depends on: exhaustive +
+    non-overlapping assignment at roughly the requested proportions,
+    bit-stable across row order/partitioning, nested sample subsets,
+    and loud validation errors."""
+    import pytest as _pytest
+
+    from gmql_spark.operators.sampling import deterministic_split, sample_fraction
+
+    docs = spark.range(20_000).select(F.col("id").alias("doc_id"))
+    w = {"train": 0.9, "val": 0.05, "test": 0.05}
+    out = deterministic_split(docs, w)
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == set(w) and sum(counts.values()) == 20_000
+    for name, frac in w.items():
+        assert abs(counts[name] / 20_000 - frac) < 0.01, (name, counts)
+
+    # stability: shuffled/partitioned input yields the identical map
+    shuffled = docs.repartition(17).orderBy(F.rand(3))
+    a = {(r.doc_id, r.split) for r in out.collect()}
+    b = {(r.doc_id, r.split) for r in deterministic_split(shuffled, w).collect()}
+    assert a == b
+
+    # nested subsets at one seed
+    s10 = {r.doc_id for r in sample_fraction(docs, 0.10).collect()}
+    s01 = {r.doc_id for r in sample_fraction(docs, 0.01).collect()}
+    assert s01 <= s10
+    assert abs(len(s10) / 20_000 - 0.10) < 0.01
+    assert abs(len(s01) / 20_000 - 0.01) < 0.005
+
+    with _pytest.raises(ValueError, match="weights"):
+        deterministic_split(docs, {})
+    with _pytest.raises(ValueError, match="fraction"):
+        sample_fraction(docs, 1.5)
+
+    # GSL surface == direct calls
+    from gmql_spark.plans.dsl import compile_script
+
+    m = compile_script(
+        spark,
+        "S = SPLIT(train: 0.9, val: 0.05, test: 0.05, id: 'doc_id') D;"
+        "P = SAMPLE(fraction: 0.01, id: 'doc_id') D;"
+        "MATERIALIZE S; MATERIALIZE P;",
+        tables={"D": docs},
+    ).materialized
+    assert {(r.doc_id, r.split) for r in m["S"].collect()} == a
+    assert {r.doc_id for r in m["P"].collect()} == s01

@@ -121,8 +121,10 @@ def pending_append_min_us(fact_path: str, manifest: dict | None) -> int | None:
     pending append also touched D2 — therefore keeps the append pending
     and the clamp in force; advancing a single global covered version
     there would silently drop the D2 rows from realtime serving.
-    Entries or manifests predating the per-date record fall back to the
-    legacy global ``covered_version`` comparison.
+    Entries predating the per-date record (no "dates" field) are
+    treated as always pending — the global covered_version cannot
+    certify per-date coverage, so the fallback over-clamps rather than
+    trusting it.
 
     Soundness: append_transcripts only guarantees PER-CONVERSATION
     ordering, so a new or lagging conversation may land rows below the
@@ -132,14 +134,18 @@ def pending_append_min_us(fact_path: str, manifest: dict | None) -> int | None:
     ts >= frozen_until) without constraining ingest order."""
     manifest = manifest or {}
     cov_dates = manifest.get("covered_dates") or {}
-    legacy = manifest.get("covered_version")
     mins = []
     for e in read_append_log(fact_path):
         if e.get("min_us") is None:
             continue
         dates = e.get("dates")
-        if dates is None:  # legacy entry: only the global version exists
-            reflected = legacy is not None and e["version"] <= legacy
+        if dates is None:
+            # legacy entry without touched dates: the global
+            # covered_version cannot certify PER-DATE coverage (a
+            # partial refresh advances it past appends it didn't
+            # cover), so treat the entry as always pending — the sound,
+            # over-clamp-only fallback
+            reflected = False
         else:
             reflected = all(
                 d in cov_dates and cov_dates[d] >= e["version"] for d in dates
@@ -335,7 +341,7 @@ def refresh_tiers(
     tiers: Sequence[str] = ("1m", "1h", "1d"),
     key: str = "conv_id",
     ts: str = "ts",
-    with_sketches: bool = False,
+    with_sketches: bool | None = None,
 ) -> dict:
     """Recompute the tier rows of ``dates`` only (partition-pruned raw
     read + dynamic partition overwrite of the matching tier dates).
@@ -345,10 +351,42 @@ def refresh_tiers(
     so per-date recompute is exact. ``with_sketches=True`` maintains the
     mergeable sketch columns too: the finest tier computes them from
     raw and the cascade carries them up automatically (they are
-    mergeable AND per-date independent — same argument)."""
+    mergeable AND per-date independent — same argument). The DEFAULT
+    (``None``) adopts the existing tier tables' mode — a refresh driven
+    by a caller that doesn't know about sketches (GSL, stream_ingest)
+    must not dynamic-partition-overwrite sketch-carrying tables with
+    sketch-less partitions (mixed parquet schemas read back
+    nondeterministically); an EXPLICIT value that contradicts the
+    existing tables raises instead."""
     from gmql_spark.operators.rollup import rollup, rollup_tier_from
 
     from gmql_spark.realtime import record_refresh_watermark
+
+    existing_modes = {}
+    for tier in tiers:
+        path = f"{out_dir}/rollup_{tier}"
+        if os.path.exists(path):
+            try:
+                existing_modes[tier] = (
+                    "lat_hist" in spark.read.parquet(path).columns
+                )
+            except Exception:
+                pass  # unreadable/empty dir: treat as absent
+    if len(set(existing_modes.values())) > 1:
+        raise ValueError(
+            f"tier tables under {out_dir} disagree on sketch columns "
+            f"({existing_modes}); rebuild them consistently before refreshing"
+        )
+    existing = next(iter(set(existing_modes.values())), None)
+    if with_sketches is None:
+        with_sketches = bool(existing)
+    elif existing is not None and existing != with_sketches:
+        raise ValueError(
+            f"refresh with with_sketches={with_sketches} but the existing tier "
+            f"tables under {out_dir} were built with "
+            f"with_sketches={existing}: a partial overwrite would mix parquet "
+            "schemas across partitions. Pass the matching value or rebuild."
+        )
 
     # the state version this refresh covers: any append committed after
     # this point is "pending" for realtime-serving purposes (its batch

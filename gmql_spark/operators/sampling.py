@@ -48,6 +48,12 @@ def deterministic_split(
     exhaustive and splits never overlap or drift between runs."""
     if not weights:
         raise ValueError("weights must name at least one split")
+    bad = {k: v for k, v in weights.items() if v < 0}
+    if bad:
+        raise ValueError(
+            f"weights must be non-negative, got {bad} (a negative weight "
+            "would shift every boundary and silently empty its split)"
+        )
     total = float(sum(weights.values()))
     if total <= 0:
         raise ValueError("weights must sum to a positive value")

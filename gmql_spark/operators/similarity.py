@@ -327,9 +327,9 @@ def _infer_dim(df: DataFrame, vec_col: str) -> int:
     width mismatch is SILENT poison otherwise: ``zip_with`` null-pads
     the shorter side, every dot/signature goes null, and the bucket
     join matches nothing — zero results with no error."""
-    row = df.select(vec_col).first()
-    if row is None or row[0] is None:
-        return 1  # no rows -> result is empty regardless of the planes
+    row = df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+    if row is None:
+        return 1  # no non-null vectors -> result is empty regardless
     return len(row[0])
 
 

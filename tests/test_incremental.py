@@ -309,7 +309,7 @@ def test_incremental_sketch_tiers_equal_oneshot(spark, tmp_path, split_data):
             rollup(raw, tier, with_sketches=True)
             .toPandas().sort_values(["conv_id", "window_start"]).reset_index(drop=True)
         )
-        assert list(got.columns) == list(exp.columns) or set(got.columns) == set(exp.columns)
+        assert list(got.columns) == list(exp.columns)
         import pandas as pd
 
         hist_g = [sorted(dict(h).items()) if h is not None else None for h in got["lat_hist"]]
@@ -319,3 +319,26 @@ def test_incremental_sketch_tiers_equal_oneshot(spark, tmp_path, split_data):
             got[["conv_id", "window_start", "turn_count"]],
             exp[["conv_id", "window_start", "turn_count"]],
         )
+
+
+def test_refresh_sketch_mode_guard(spark, tmp_path, split_data):
+    """A refresh must not mix sketch-less partitions into a
+    sketch-carrying tier table: the default adopts the existing mode,
+    an explicit contradiction raises."""
+    _, b1, b2 = split_data
+    fact = str(tmp_path / "fact_skg")
+    out = str(tmp_path / "tiers_skg")
+    d1 = append_transcripts(spark, b1, fact, n_buckets=4)
+    refresh_tiers(spark, fact, out, dates=d1, tiers=("1m",), with_sketches=True)
+
+    d2 = append_transcripts(spark, b2, fact, n_buckets=4)
+    # default (None) adopts sketch mode
+    refresh_tiers(spark, fact, out, dates=d2, tiers=("1m",))
+    cols = spark.read.parquet(f"{out}/rollup_1m").columns
+    assert "lat_hist" in cols
+    # every partition carries the sketch columns (no mixed schemas)
+    n_null = spark.read.parquet(f"{out}/rollup_1m").filter("lat_hist is null").count()
+    assert n_null == 0
+
+    with pytest.raises(ValueError, match="with_sketches"):
+        refresh_tiers(spark, fact, out, dates=d2, tiers=("1m",), with_sketches=False)

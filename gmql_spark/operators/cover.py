@@ -359,3 +359,88 @@ def summits(
         .filter((F.col("acc") > F.col("_l")) & (F.col("acc") >= F.col("_r")))
         .select(*keys, "acc_start", "acc_end", "acc")
     )
+
+
+def cover_jaccard(
+    df: DataFrame,
+    min_acc: int | str = 1,
+    max_acc: int | str | None = None,
+    keys: Sequence[str] = (),
+    start_ts: str = "start_ts",
+    end_ts: str = "end_ts",
+    bucket_s: float = 3600.0,
+    n_samples: int | None = None,
+) -> DataFrame:
+    """COVER's follow-up self-MAP aggregates (``GMAP4.scala:60-95``;
+    output-schema contract ``IRVariable.scala:319-323``): the reference
+    appends to every COVER island, beyond AccIndex (= ``acc_max``, the
+    max accumulation, already produced by :func:`cover`):
+
+    - ``jaccard_result``  (GMAP4 "Jaccard 1", ``:88``):
+      |island| / |union span of contributing intervals|
+    - ``jaccard_intersect`` (GMAP4 "Jaccard 2", ``:90``):
+      max(0, min(contributor ends) − max(contributor starts))
+      / |union span| — the reference zeroes the intersection bounds as
+      soon as they cross (``:74-75``), so an empty intersection yields
+      0 exactly.
+    - ``n_contrib``: contributing-interval count (the reference's
+      per-island count accumulator, ``:49`` tuple field 8).
+
+    Contributors are the input intervals overlapping the island
+    (start < island_end AND end > island_start), the same open-interval
+    overlap as the reference's ``ref._1 < e._2 && e._1 < ref._2``.
+
+    Scale: the island×interval overlap is the same bucketed equi-join
+    as :func:`flat_cover` — both sides exploded to ``bucket_s`` time
+    buckets, equi-join on bucket + residual overlap predicate. Because
+    ``n_contrib`` is a COUNT (not dedup-safe min/max), each pair is
+    kept only in its OWNER bucket — the first bucket both intervals
+    share, ``greatest(first_bucket(island), first_bucket(interval))``
+    — the same ownership dedup as interval_join's region builders, so
+    no distinct shuffle is needed.
+    """
+    islands = cover(df, min_acc, max_acc, keys=keys, start_ts=start_ts,
+                    end_ts=end_ts, n_samples=n_samples)
+    iv = df.select(*keys, F.col(start_ts).alias("_ivs"), F.col(end_ts).alias("_ive"))
+    bucket_us = max(int(bucket_s * 1e6), 1)
+
+    def first_bucket(col):
+        return F.floor(F.unix_micros(col) / F.lit(bucket_us)).cast("long")
+
+    def span_buckets(lo, hi):
+        return F.explode(F.sequence(first_bucket(lo), first_bucket(hi)))
+
+    isl_b = islands.withColumn(
+        "_bucket", span_buckets(F.col("cover_start"), F.col("cover_end"))
+    )
+    iv_b = iv.withColumn("_bucket", span_buckets(F.col("_ivs"), F.col("_ive")))
+    cond = [isl_b["_bucket"] == iv_b["_bucket"]] + [isl_b[k] == iv_b[k] for k in keys]
+    cond += [iv_b["_ivs"] < isl_b["cover_end"], iv_b["_ive"] > isl_b["cover_start"]]
+    joined = isl_b.join(iv_b, cond, "inner").filter(
+        isl_b["_bucket"]
+        == F.greatest(first_bucket(isl_b["cover_start"]), first_bucket(iv_b["_ivs"]))
+    )
+    agg = joined.groupBy(
+        *[isl_b[k] for k in keys], "cover_start", "cover_end", "acc_max"
+    ).agg(
+        F.count(F.lit(1)).alias("n_contrib"),
+        F.min("_ivs").alias("_union_s"),
+        F.max("_ive").alias("_union_e"),
+        F.max("_ivs").alias("_int_s"),
+        F.min("_ive").alias("_int_e"),
+    )
+    union_us = (F.unix_micros("_union_e") - F.unix_micros("_union_s")).cast("double")
+    island_us = (F.unix_micros("cover_end") - F.unix_micros("cover_start")).cast("double")
+    int_us = (F.unix_micros("_int_e") - F.unix_micros("_int_s")).cast("double")
+    zero_den = union_us == F.lit(0.0)
+    return agg.select(
+        *keys,
+        "cover_start",
+        "cover_end",
+        "acc_max",
+        "n_contrib",
+        F.when(zero_den, F.lit(0.0)).otherwise(island_us / union_us).alias("jaccard_result"),
+        F.when(zero_den | (int_us <= F.lit(0.0)), F.lit(0.0))
+        .otherwise(int_us / union_us)
+        .alias("jaccard_intersect"),
+    )

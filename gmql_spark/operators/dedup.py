@@ -151,12 +151,27 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     n: int = 3,
     hash_fn: str = "xxhash64",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash LSH.
 
     B bands of R=K/B rows: docs sharing any band bucket become
     candidates; est_jaccard = fraction of equal minhash perms. Bucket
-    join cost is proportional to true collisions (banding), not n^2."""
+    join cost is proportional to true collisions (banding), not n^2.
+
+    ``max_bucket_size`` is the hot-bucket guard for the degenerate
+    case banding cannot help with: k docs with IDENTICAL signatures
+    (usually exact duplicates) share every band bucket, so the
+    self-join still fans out k^2 candidates. With the cap set, band
+    buckets holding more than ``max_bucket_size`` docs are dropped
+    (left_anti on a tiny aggregated bucket-size frame), bounding the
+    per-bucket fan-out to cap^2 regardless of skew. Semantics: a pair
+    is kept iff it shares at least one NON-oversized bucket — pairs
+    reachable only through dropped buckets are lost, so run
+    ``exact_dedup`` first (it collapses the identical-text groups that
+    create oversized buckets, and those pairs are already known
+    duplicates — losing them here costs nothing). Uncapped (None, the
+    default and the oracle-gate mode) is exact."""
     assert num_perm % bands == 0
     rows = num_perm // bands
     sig = minhash_signatures(df, num_perm, id_col, text_col, n, hash_fn).cache()
@@ -181,6 +196,14 @@ def minhash_lsh_pairs(
         F.col(id_col),
         F.posexplode(F.array(*band_cols)).alias("band", "bucket"),
     )
+    if max_bucket_size is not None:
+        oversized = (
+            buckets.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        buckets = buckets.join(oversized, on=["band", "bucket"], how="left_anti")
     a, b_ = buckets.alias("a"), buckets.alias("b")
     cands = (
         a.join(b_, on=["band", "bucket"])

@@ -2,17 +2,20 @@
 metadata, with Arrow-batched (mapInPandas) decode/feature plumbing.
 
 The Spark-side plumbing (schemas, batching, partitioning, UDF
-signatures) is real and tested; the actual media decode is stubbed —
-this container has no image/audio libraries — behind
-``decoder=`` hooks: the default ``_fake_decode`` is a deterministic
-pure-numpy stand-in (dimensions and features derived from the bytes), a
-real deployment passes e.g. a PIL/librosa-backed decoder with the same
-signature.
+signatures) is real and tested. Decode: BMP (uncompressed 8/24-bit)
+and PPM/PGM (binary P5/P6) are decoded FOR REAL in pure
+stdlib+numpy (:func:`decode_image` — no media libraries needed);
+other formats (JPEG/PNG/audio/video need codec libraries this
+container lacks) fall back to ``_fake_decode``, a deterministic
+pure-numpy stand-in, via the default ``decode_any`` dispatch. A real
+deployment passes e.g. a PIL/librosa-backed decoder with the same
+signature through the ``decoder=`` hooks.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Callable, Iterator
 
 import numpy as np
@@ -28,14 +31,124 @@ MEDIA_SCHEMA = (
 def _fake_decode(payload: bytes) -> np.ndarray:
     """Deterministic stand-in decoder: bytes -> pseudo pixel/pcm array.
 
-    REAL DECODE NOT IMPLEMENTED in this environment (no PIL/ffmpeg);
-    swap via the ``decoder`` argument of the operators below."""
+    Used for formats whose real decode needs codec libraries absent in
+    this environment (JPEG/PNG/audio/video); BMP and PPM/PGM decode for
+    real via :func:`decode_image`. Swap via the ``decoder`` argument of
+    the operators below."""
     if payload is None or len(payload) == 0:
         raise NotImplementedError("empty payload; real decoder required")
     h = np.frombuffer(hashlib.sha256(payload).digest(), dtype=np.uint8)
     n = 64 + int(h[0])  # pseudo dimensions from content
     rng = np.random.Generator(np.random.PCG64(int.from_bytes(h[:8], "little")))
     return rng.integers(0, 256, size=n, dtype=np.uint8)
+
+
+# ------------------------------------------------ real BMP / PPM codecs
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6, RGB) / PGM (P5, gray) decode -> (h, w, 3) or
+    (h, w) uint8, row-major top-down. Header = magic, then width,
+    height, maxval as whitespace-separated ASCII ints with ``#``
+    comments allowed, then ONE whitespace byte, then raw samples."""
+    if len(payload) < 2 or payload[:1] != b"P" or payload[1:2] not in (b"5", b"6"):
+        raise ValueError("not a binary PPM/PGM payload")
+    channels = 3 if payload[1:2] == b"6" else 1
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos : pos + 1] not in (b"\n", b"\r"):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace byte after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    n = w * h * channels
+    data = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    return data.reshape((h, w, 3) if channels == 3 else (h, w))
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """(h, w, 3) -> P6 / (h, w) -> P5, maxval 255."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    magic = b"P6" if arr.ndim == 3 else b"P5"
+    h, w = arr.shape[:2]
+    return magic + f"\n{w} {h}\n255\n".encode() + arr.tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed (BI_RGB) BMP decode, pure stdlib+numpy:
+    24-bit -> (h, w, 3) uint8 RGB; 8-bit paletted -> (h, w, 3) via the
+    palette. Handles the 4-byte row padding, bottom-up AND top-down
+    (negative height) row order, and BGR sample order — output is always
+    row-major top-down RGB."""
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise ValueError("BITMAPCOREHEADER BMP not supported")
+    w, h_signed = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0:
+        raise ValueError(f"compressed BMP (method {compression}) not supported")
+    h, top_down = abs(h_signed), h_signed < 0
+    row_bytes = (w * bpp // 8 + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_bytes * h, offset=data_off
+    ).reshape(h, row_bytes)
+    if not top_down:
+        rows = rows[::-1]
+    if bpp == 24:
+        px = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+        return np.ascontiguousarray(px)
+    if bpp == 8:
+        n_colors = struct.unpack_from("<I", payload, 46)[0] or 256
+        pal = np.frombuffer(
+            payload, dtype=np.uint8, count=n_colors * 4, offset=14 + hdr_size
+        ).reshape(n_colors, 4)[:, 2::-1]  # BGRA entries -> RGB
+        return np.ascontiguousarray(pal[rows[:, :w]])
+    raise ValueError(f"{bpp}-bit BMP not supported")
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> uncompressed 24-bit bottom-up BMP
+    (BITMAPINFOHEADER, 4-byte-padded rows)."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    row_bytes = (w * 3 + 3) & ~3
+    body = np.zeros((h, row_bytes), dtype=np.uint8)
+    body[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    data = body.tobytes()
+    file_hdr = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    info_hdr = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return file_hdr + info_hdr + data
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Real image decode for the formats parseable without media libs
+    (BMP, binary PPM/PGM), dispatched on the magic bytes."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:1] == b"P" and payload[1:2] in (b"5", b"6"):
+        return decode_ppm(payload)
+    raise NotImplementedError("only BMP and binary PPM/PGM decode without media libs")
+
+
+def decode_any(payload: bytes) -> np.ndarray:
+    """Default decoder: real decode where the format allows it, the
+    deterministic stand-in otherwise."""
+    b = bytes(payload)
+    if b[:2] == b"BM" or (b[:1] == b"P" and b[1:2] in (b"5", b"6")):
+        return decode_image(b)
+    return _fake_decode(b)
 
 
 def extract_features(
@@ -65,6 +178,58 @@ def extract_features(
             yield pd.DataFrame({id_col: ids, "feature": feats})
 
     return df.mapInPandas(_featurize, schema=schema)
+
+
+def decode_stats(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    decoder: Callable[[bytes], np.ndarray] = decode_image,
+) -> DataFrame:
+    """Decode every payload and emit integer/exact per-image statistics
+    (Arrow-batched mapInPandas): dimensions, channel count, the exact
+    pixel-byte sum, and the md5 of the decoded array's canonical bytes
+    (row-major top-down RGB). Integers/digests make the result
+    bit-exactly checkable against pixels computed outside Spark — a
+    true round-trip oracle for the decoder (row order, padding, and
+    BGR/RGB handling all show up in the digest)."""
+    schema = f"{id_col} long, width int, height int, channels int, px_sum long, px_md5 string"
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                arr = decoder(bytes(payload))
+                h, w = arr.shape[:2]
+                ch = arr.shape[2] if arr.ndim == 3 else 1
+                rows.append(
+                    (
+                        mid,
+                        int(w),
+                        int(h),
+                        int(ch),
+                        int(arr.astype(np.int64).sum()),
+                        hashlib.md5(np.ascontiguousarray(arr).tobytes()).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "width", "height", "channels", "px_sum", "px_md5"]
+            )
+
+    return df.mapInPandas(_stats, schema=schema)
+
+
+def synth_image(seed_bytes: bytes, fmt: str) -> tuple[np.ndarray, bytes]:
+    """Deterministic test image from a seed: pixels from
+    PCG64(sha256(seed)), dims 3..15 x 2..12, encoded as ``bmp`` or
+    ``ppm``. Returns (pixels, encoded payload) so an oracle can compute
+    expected stats from the PIXELS while the engine path goes
+    pixels -> encode -> decode — exercising the full codec round trip."""
+    h8 = hashlib.sha256(seed_bytes).digest()
+    rng = np.random.Generator(np.random.PCG64(int.from_bytes(h8[:8], "little")))
+    w, h = 3 + h8[8] % 13, 2 + h8[9] % 11
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    return px, (encode_bmp(px) if fmt == "bmp" else encode_ppm(px))
 
 
 def probe_metadata(

@@ -397,3 +397,99 @@ def lsh_bucket_topk(
         rank_col="rank",
     )
     return out.select("query_id", "neighbor_id", "rank", "sim")
+
+
+# --------------------------------------------------- IVF centroid training
+
+def kmeans_train(X, n_cells: int, seed: int = 0, n_iters: int = 20):
+    """Pure-numpy spherical Lloyd's over an (n, dim) float64 matrix.
+
+    Deterministic by construction — given the same matrix (same rows in
+    the same order), every step is a fixed numpy reduction:
+
+    - rows are L2-normalized (cosine argmax == L2 argmin on the unit
+      sphere, matching ``ivf_topk``'s cosine cell assignment);
+      zero-norm rows are dropped;
+    - init = PCG64(seed) choice of ``n_cells`` distinct row indices;
+    - assignment = argmax of X @ C.T with numpy's first-max tie-break
+      (lowest cell index — the same tie rule ``ivf_topk`` uses);
+    - update = mean of assigned rows, re-normalized; an emptied cell
+      keeps its previous centroid;
+    - fixed ``n_iters`` sweeps with early stop on an UNCHANGED
+      assignment (a deterministic predicate, so stopping early never
+      breaks reproducibility).
+
+    Returns (n_cells, dim) float64 centroids (unit-norm rows).
+    """
+    import numpy as np
+
+    X = np.asarray(X, dtype=np.float64)
+    if X.ndim != 2 or X.shape[0] == 0:
+        raise ValueError("kmeans_train needs a non-empty (n, dim) matrix")
+    norms = np.sqrt((X * X).sum(axis=1))
+    X = X[norms > 0] / norms[norms > 0, None]
+    n = X.shape[0]
+    if n < n_cells:
+        raise ValueError(f"kmeans_train: {n} usable rows < n_cells={n_cells}")
+    rng = np.random.Generator(np.random.PCG64(seed))
+    cen = X[np.sort(rng.choice(n, size=n_cells, replace=False))].copy()
+    prev = None
+    for _ in range(n_iters):
+        assign = np.argmax(X @ cen.T, axis=1)
+        if prev is not None and np.array_equal(assign, prev):
+            break
+        prev = assign
+        for c in range(n_cells):
+            members = X[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                nrm = float(np.sqrt(m @ m))
+                if nrm > 0:
+                    cen[c] = m / nrm
+    return cen
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_cap: int = 100_000,
+    seed: int = 0,
+    n_iters: int = 20,
+    hash_seed: str = "ivf",
+):
+    """Sampled k-means centroid trainer for :func:`ivf_topk` — the
+    missing producer half of the IVF scale path (train here, then
+    ``centroids_to_table`` + ``ivf_topk`` for 10^4+ cells).
+
+    The driver-side sample is DETERMINISTIC, not ``rand()``: rows are
+    ranked by the portable 60-bit md5 hash of the id
+    (``dedup.hash64(md5)``, bit-identical in DuckDB/Python) with the id
+    itself as tie-break, and the first ``sample_cap`` survive. On a
+    cluster that is a distributed TakeOrderedAndProject (top-k by hash),
+    NOT a full sort — O(n) scan + O(cap) result; re-runs, retries, and
+    repartitioning cannot change the sample. The collected matrix
+    (≤ cap × dim float64) then runs :func:`kmeans_train` on the driver.
+
+    An exact-oracle twin can reproduce the centroids outside Spark by
+    applying the same rule: md5-rank the ids, take ``sample_cap``, sort
+    the survivors by (hash, id), feed the float64 matrix to
+    ``kmeans_train`` with the same seed.
+    """
+    import numpy as np
+
+    from gmql_spark.operators.dedup import hash64
+
+    sampled = (
+        df.select(
+            hash64(F.col(id_col), hash_seed, "md5").alias("_h"),
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+        )
+        .orderBy("_h", "_id")
+        .limit(int(sample_cap))
+        .collect()
+    )
+    X = np.asarray([r["_v"] for r in sampled], dtype=np.float64)
+    return kmeans_train(X, n_cells, seed=seed, n_iters=n_iters)

@@ -61,6 +61,30 @@ def test_minhash_lsh_finds_exact_and_near_dups(docs):
     assert all(ej[p] == 1.0 for p in [(0, 1), (10, 11)])
 
 
+def test_minhash_hot_bucket_cap(spark, docs):
+    # 10^4 identical docs share every band bucket -> uncapped LSH would
+    # fan out ~5*10^7 candidate pairs; the cap drops those buckets so
+    # the output stays linear in the distinct corpus
+    hot = spark.range(100_000, 110_000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("identical hot document text repeated many times over and over").alias("text"),
+    )
+    capped = minhash_lsh_pairs(
+        docs.unionByName(hot), num_perm=64, bands=16, threshold=0.5, max_bucket_size=100
+    ).toPandas()
+    # nothing from the hot block (its buckets are oversized), and the
+    # distinct corpus's pairs are exactly the uncapped result on it
+    assert not ((capped.id_a >= 100_000) | (capped.id_b >= 100_000)).any()
+    base = minhash_lsh_pairs(docs, num_perm=64, bands=16, threshold=0.5).toPandas()
+    key = lambda d: {(r.id_a, r.id_b) for r in d.itertuples()}  # noqa: E731
+    assert key(capped) == key(base)
+    # a cap no bucket exceeds is a no-op
+    nocap_equiv = minhash_lsh_pairs(
+        docs, num_perm=64, bands=16, threshold=0.5, max_bucket_size=100
+    ).toPandas()
+    assert key(nocap_equiv) == key(base)
+
+
 def test_simhash_near_pairs(docs):
     pairs = simhash_near_pairs(docs, max_hamming=10).toPandas()
     got = {(r.id_a, r.id_b) for r in pairs.itertuples()}
@@ -194,6 +218,50 @@ def test_ivf_topk_recall_vs_brute(spark):
            for r in ivf_topk(q, emb, cen, k=5, n_probe=3).collect()}
     recall = len(brute & ivf) / len(brute)
     assert recall >= 0.5, recall
+
+
+def test_trained_centroids_beat_random_and_are_deterministic(spark):
+    """train_ivf_centroids (md5-ranked sample -> seeded spherical
+    Lloyd's): on clustered data, trained cells must give ivf_topk
+    HIGHER recall@5 vs brute force than the fixed random centroids —
+    and two trainings must be bit-identical (the exact-oracle
+    contract)."""
+    from gmql_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    centers = rng.standard_normal((4, 16)) * 4.0
+    vecs = np.concatenate(
+        [centers[i % 4] + rng.standard_normal(16) * 0.4 for i in range(240)]
+    ).reshape(240, 16)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(240)],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.filter("vec_id < 12")
+
+    cen_a = train_ivf_centroids(emb, n_cells=4, seed=3, n_iters=15)
+    cen_b = train_ivf_centroids(emb, n_cells=4, seed=3, n_iters=15)
+    assert cen_a.shape == (4, 16) and np.array_equal(cen_a, cen_b)
+
+    brute = {(r.query_id, r.neighbor_id) for r in cosine_topk(q, emb, k=5).collect()}
+
+    def recall(cen, n_probe=1):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_topk(q, emb, cen, k=5, n_probe=n_probe).collect()
+        }
+        return len(brute & got) / len(brute)
+
+    random_cen = rng.standard_normal((4, 16))
+    r_trained, r_random = recall(cen_a), recall(random_cen)
+    # trained cells align with the true clusters: 1-probe recall should
+    # be (near-)perfect; random hyperplane-ish cells split clusters
+    assert r_trained >= 0.9, (r_trained, r_random)
+    assert r_trained >= r_random, (r_trained, r_random)
 
 
 def test_dedup_components_transitive_chain(spark):

@@ -52,6 +52,42 @@ def test_summits(intervals):
     assert got == [(ts(10), ts(20), 2), (ts(40), ts(50), 1)]
 
 
+def test_cover_jaccard_hand_computed(intervals):
+    """GMAP4 Jaccard ratios on the fixture: island [0,30) has
+    contributors [0,20) and [10,30) -> union [0,30) (span 30),
+    intersection [10,20) (span 10): jaccard_result = 30/30 = 1,
+    jaccard_intersect = 10/30. Island [40,50): one contributor,
+    both ratios 1."""
+    from gmql_spark.operators.cover import cover_jaccard
+
+    out = cover_jaccard(intervals, min_acc=1).orderBy("cover_start").collect()
+    got = [
+        (r.cover_start, r.n_contrib, r.jaccard_result, r.jaccard_intersect)
+        for r in out
+    ]
+    assert got == [(ts(0), 2, 1.0, 10.0 / 30.0), (ts(40), 1, 1.0, 1.0)]
+
+    # min_acc=2: island [10,20); same two contributors, union [0,30):
+    # jaccard_result = 10/30, intersection [10,20) -> 10/30
+    out2 = cover_jaccard(intervals, min_acc=2).collect()
+    assert [
+        (r.cover_start, r.cover_end, r.acc_max, r.n_contrib,
+         r.jaccard_result, r.jaccard_intersect)
+        for r in out2
+    ] == [(ts(10), ts(20), 2, 2, 10.0 / 30.0, 10.0 / 30.0)]
+
+    # disjoint contributors around one island (touching at 20): the
+    # intersection is empty -> 0 exactly (the reference zeroes it)
+    spark = intervals.sparkSession
+    touch = spark.createDataFrame(
+        [(ts(0), ts(20)), (ts(20), ts(40))], "start_ts timestamp, end_ts timestamp"
+    )
+    out3 = cover_jaccard(touch, min_acc=1).collect()
+    assert [(r.n_contrib, r.jaccard_result, r.jaccard_intersect) for r in out3] == [
+        (2, 1.0, 0.0)
+    ]
+
+
 def test_project_intervals_semantics(spark):
     rows = [(1, ts(10), ts(20)), (2, ts(5), ts(6))]
     df = spark.createDataFrame(rows, "id long, start_ts timestamp, end_ts timestamp")

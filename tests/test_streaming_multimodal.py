@@ -195,3 +195,77 @@ def test_merge_batch_late_events():
     # watermark past everything: all intervals close, none kept
     closed, kept = _merge_batch(np.empty(0, dtype=np.int64), two, T, s(10_000))
     assert closed == two and kept == []
+
+
+# --------------------------------------------- real BMP / PPM codecs
+
+def test_image_codec_round_trips():
+    from gmql_spark.operators.multimodal import (
+        decode_bmp,
+        decode_image,
+        decode_ppm,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(9))
+    for w in (3, 4, 5, 16):  # w=3,5 exercise the 4-byte BMP row padding
+        px = rng.integers(0, 256, size=(7, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+        assert np.array_equal(decode_ppm(encode_ppm(px)), px)
+        assert np.array_equal(decode_image(encode_bmp(px)), px)
+    gray = rng.integers(0, 256, size=(5, 6), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(gray)), gray)  # P5
+
+
+def test_ppm_header_comments_and_bmp_variants():
+    import struct
+
+    from gmql_spark.operators.multimodal import decode_bmp, decode_ppm, encode_bmp
+
+    px = np.arange(36, dtype=np.uint8).reshape(3, 4, 3)
+    # hand-built P6 with comments inside the header
+    payload = b"P6\n# a comment\n4 # width\n3\n# another\n255\n" + px.tobytes()
+    assert np.array_equal(decode_ppm(payload), px)
+
+    # top-down BMP (negative height): flip rows + sign in the header
+    bottom_up = bytearray(encode_bmp(px))
+    h = struct.unpack_from("<i", bottom_up, 22)[0]
+    struct.pack_into("<i", bottom_up, 22, -h)
+    row_bytes = (4 * 3 + 3) & ~3
+    body = np.frombuffer(bytes(bottom_up[54:]), dtype=np.uint8).reshape(h, row_bytes)
+    td = bytes(bottom_up[:54]) + body[::-1].tobytes()
+    assert np.array_equal(decode_bmp(td), px)
+
+    # 8-bit paletted BMP, hand-built: 2x2 indices into a 4-color palette
+    pal = np.array([[10, 20, 30], [40, 50, 60], [70, 80, 90], [200, 210, 220]], np.uint8)
+    idx = np.array([[0, 3], [2, 1]], np.uint8)
+    pal_bytes = b"".join(bytes([b, g, r, 0]) for r, g, b in pal)
+    rows = b"".join(bytes(idx[y]) + b"\x00\x00" for y in (1, 0))  # bottom-up, pad to 4
+    off = 14 + 40 + len(pal_bytes)
+    fh = struct.pack("<2sIHHI", b"BM", off + len(rows), 0, 0, off)
+    ih = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 8, 0, len(rows), 0, 0, 4, 0)
+    out = decode_bmp(fh + ih + pal_bytes + rows)
+    assert np.array_equal(out, pal[idx])
+
+
+def test_decode_stats_matches_pixels(spark):
+    from gmql_spark.operators.multimodal import decode_stats, synth_image
+    import hashlib
+
+    seeds = [f"doc {i}".encode() for i in range(12)]
+    expected, rows = {}, []
+    for i, s in enumerate(seeds):
+        fmt = "bmp" if i % 2 == 0 else "ppm"
+        px, payload = synth_image(s, fmt)
+        expected[i] = (
+            px.shape[1], px.shape[0], 3,
+            int(px.astype(np.int64).sum()),
+            hashlib.md5(np.ascontiguousarray(px).tobytes()).hexdigest(),
+        )
+        rows.append((i, bytearray(payload)))
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = decode_stats(df).toPandas().set_index("media_id").sort_index()
+    for i in expected:
+        r = got.loc[i]
+        assert (r.width, r.height, r.channels, r.px_sum, r.px_md5) == expected[i]

@@ -24,11 +24,30 @@ def rank_per_key(
     keys: Sequence[str],
     order_by: Sequence[Column | str],
     rank_col: str = "order_pos",
+    null_col: str | None = None,
 ) -> DataFrame:
     """Append a 1-based rank within each key group (GMQL's appended
-    ``order`` position column, ``OrderRD.scala:83-86``)."""
+    ``order`` position column, ``OrderRD.scala:83-86``).
+
+    ``null_col`` reproduces the reference's null-key parity nuance:
+    OrderRD SEGREGATES rows whose sort attribute is missing and appends
+    them unranked after the sorted rows (``OrderRD.scala:83-86`` — the
+    ``sortedParts ++ missing`` concatenation), whereas a plain window
+    rank folds nulls into the ordering per the orderBy null placement.
+    Pass the sort attribute's column name to match the reference: rows
+    with a null value there come back with a NULL ``rank_col`` instead
+    of a position. Default (None) keeps the window-native behavior."""
     w = Window.partitionBy(*keys).orderBy(*order_by)
-    return df.withColumn(rank_col, F.row_number().over(w))
+    if null_col is None:
+        return df.withColumn(rank_col, F.row_number().over(w))
+    ranked = (
+        df.filter(F.col(null_col).isNotNull())
+        .withColumn(rank_col, F.row_number().over(w))
+    )
+    unranked = df.filter(F.col(null_col).isNull()).withColumn(
+        rank_col, F.lit(None).cast("int")
+    )
+    return ranked.unionByName(unranked)
 
 
 def topk_per_key(
@@ -37,9 +56,16 @@ def topk_per_key(
     order_by: Sequence[Column | str],
     k: int,
     rank_col: str = "order_pos",
+    null_col: str | None = None,
 ) -> DataFrame:
-    """Top-k rows per key (GMQL ``Top(k)``)."""
-    return rank_per_key(df, keys, order_by, rank_col).filter(F.col(rank_col) <= k)
+    """Top-k rows per key (GMQL ``Top(k)``). With ``null_col`` set,
+    null-sort-key rows are segregated (see :func:`rank_per_key`) and
+    never occupy a top-k slot — the reference sorts them after every
+    ranked row, so Top(k) cannot reach them while >=k ranked rows
+    exist."""
+    return rank_per_key(df, keys, order_by, rank_col, null_col=null_col).filter(
+        F.col(rank_col) <= k
+    )
 
 
 def topg_per_key(

@@ -448,6 +448,27 @@ def _op_ivf(dfs, st):
     )
 
 
+def _op_train(dfs, st):
+    """TRAIN — sampled k-means IVF centroid trainer (1 input =
+    embeddings table) -> a (cell, centroid) table the 3-input ``IVF``
+    statement consumes: ``C = TRAIN emb cells:256 seed:0``."""
+    from gmql_spark.operators.similarity import (
+        centroids_to_table,
+        train_ivf_centroids,
+    )
+
+    cen = train_ivf_centroids(
+        dfs[0],
+        n_cells=int(st.params.get("cells", 8)),
+        id_col=st.params.get("id", "vec_id"),
+        vec_col=st.params.get("vec", "embedding"),
+        sample_cap=int(st.params.get("cap", 100_000)),
+        seed=int(st.params.get("seed", 0)),
+        n_iters=int(st.params.get("iters", 20)),
+    )
+    return centroids_to_table(dfs[0].sparkSession, cen)
+
+
 def _op_join(dfs, st):
     from gmql_spark.operators.join import interval_join
 
@@ -468,12 +489,19 @@ def _op_join(dfs, st):
 
 
 def _op_cover(dfs, st):
-    from gmql_spark.operators.cover import accumulation, cover, flat_cover, summits
+    from gmql_spark.operators.cover import (
+        accumulation,
+        cover,
+        cover_jaccard,
+        flat_cover,
+        summits,
+    )
 
     variant = st.op.lower() if st.op != "COVER" else st.params.get("variant", "cover")
     fns = {
         "cover": cover, "histogram": accumulation, "accumulation": accumulation,
         "summit": summits, "summits": summits, "flat": flat_cover,
+        "jaccard": cover_jaccard,
     }
     keys = st.params.get("key", [])
     keys = keys if isinstance(keys, list) else [keys]
@@ -483,7 +511,7 @@ def _op_cover(dfs, st):
         end_ts=st.params.get("end", "end_ts"),
     )
     fn = fns[variant]
-    if fn in (cover, flat_cover):
+    if fn in (cover, flat_cover, cover_jaccard):
         mn = st.params.get("min", 1)
         kw["min_acc"] = mn if isinstance(mn, str) else int(mn)
         if "max" in st.params:
@@ -506,6 +534,10 @@ def _op_dedup(dfs, st):
         return minhash_lsh_pairs(
             dfs[0], id_col=idc, text_col=txt,
             threshold=float(st.params.get("threshold", 0.5)),
+            # hot-bucket guard (cap:) — see minhash_lsh_pairs docstring
+            max_bucket_size=(
+                int(st.params["cap"]) if "cap" in st.params else None
+            ),
         )
     raise GSLError(f"line {st.pos}: DEDUP mode must be exact|minhash")
 
@@ -723,6 +755,8 @@ OPS: dict[str, tuple] = {
     "CONDJOIN": (_op_condjoin, 2),
     "ANN": (_op_ann, 2),
     "IVF": (_op_ivf, 3),
+    "TRAIN": (_op_train, 1),
+    "JACCARD": (_op_cover, 1),
     "JOIN": (_op_join, 2),
     "COVER": (_op_cover, 1),
     "HISTOGRAM": (_op_cover, 1),

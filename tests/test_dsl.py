@@ -541,3 +541,57 @@ def test_script_join_wildcard(spark):
     script = "J = JOIN(key: [], wildcard: 'strand', bucket: 600.0) L R; MATERIALIZE J;"
     out = compile_script(spark, script, tables={"L": lv, "R": rv}).materialized["J"]
     assert {r.lid for r in out.collect()} == {2}  # only the '*' left row
+
+
+def test_script_train_and_jaccard_equals_direct(spark, raw):
+    """TRAIN (k-means centroid table) and JACCARD (cover follow-up
+    aggregates) statements == direct operator calls; the TRAIN output
+    feeds IVF as a first-class variable."""
+    import numpy as np
+
+    from gmql_spark.operators.cover import cover_jaccard
+    from gmql_spark.operators.similarity import (
+        centroids_to_table,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(8))
+    vecs = rng.standard_normal((150, 12))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(150)],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.filter("vec_id < 6")
+
+    script = """
+        CEN = TRAIN(cells: 4, seed: 2, iters: 10) C;
+        V = IVF(k: 3, n_probe: 2) Q C CEN;
+        IV = PROJECT(keep: ['conv_id'], start_ts: 'ts', end_ts: 'ts + interval 300 seconds') T;
+        J = JACCARD(min: 2) IV;
+        MATERIALIZE V; MATERIALIZE J;
+    """
+    compiled = compile_script(
+        spark, script, tables={"C": emb, "Q": q, "T": raw}
+    )
+    cen = train_ivf_centroids(emb, n_cells=4, seed=2, n_iters=10)
+    exp_v = ivf_topk(q, emb, centroids_to_table(spark, cen), k=3, n_probe=2)
+
+    def keyset(df):
+        return {(r.query_id, r.neighbor_id, r.rank) for r in df.collect()}
+
+    assert keyset(compiled.materialized["V"]) == keyset(exp_v)
+
+    iv = raw.select(
+        "conv_id",
+        F.col("ts").alias("start_ts"),
+        F.expr("ts + interval 300 seconds").alias("end_ts"),
+    )
+    exp_j = cover_jaccard(iv, min_acc=2).toPandas()
+    got_j = compiled.materialized["J"].toPandas()
+    cols = ["cover_start", "cover_end", "acc_max", "n_contrib",
+            "jaccard_result", "jaccard_intersect"]
+    pd.testing.assert_frame_equal(
+        got_j[cols].sort_values(cols[:2]).reset_index(drop=True),
+        exp_j[cols].sort_values(cols[:2]).reset_index(drop=True),
+    )

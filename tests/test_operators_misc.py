@@ -554,3 +554,28 @@ def test_join_conditions_matches_bruteforce(spark):
         }
         exp = brute(lrows, rrows, [tuple(c) for c in chain])
         assert got == exp, (seed, chain, got ^ exp)
+
+
+def test_order_null_key_segregation(spark):
+    """OrderRD parity nuance (``OrderRD.scala:83-86``): null sort keys
+    are segregated and appended UNRANKED, not ranked into the order."""
+    from gmql_spark.operators.order import rank_per_key, topk_per_key
+
+    rows = [("a", 1, 5.0), ("a", 2, None), ("a", 3, 9.0), ("a", 4, None), ("b", 5, 1.0)]
+    df = spark.createDataFrame(rows, "k string, id long, v double")
+    out = rank_per_key(
+        df, ["k"], [F.col("v").desc(), F.col("id")], null_col="v"
+    ).toPandas().set_index("id")
+    assert out.loc[3, "order_pos"] == 1 and out.loc[1, "order_pos"] == 2
+    assert out.loc[2, "order_pos"] is None or out.loc[2, "order_pos"] != out.loc[2, "order_pos"]
+    assert len(out) == 5  # nulls kept, just unranked
+
+    top = topk_per_key(
+        df, ["k"], [F.col("v").desc(), F.col("id")], k=2, null_col="v"
+    ).toPandas()
+    # nulls never take a top-k slot
+    assert set(top.id) == {3, 1, 5}
+
+    # default (window-native) behavior unchanged: nulls are ranked
+    plain = rank_per_key(df, ["k"], [F.col("v").desc_nulls_last(), F.col("id")]).toPandas()
+    assert plain.order_pos.notna().all()

@@ -1261,6 +1261,19 @@ def _oracle_trained_centroids(n_cells: int = 8, seed: int = 0, n_iters: int = 20
     return kmeans_train(X, n_cells, seed=seed, n_iters=n_iters)
 
 
+def _ivf_trained_sql() -> str:
+    """Build the ivf_trained oracle, containing the failure to THIS
+    gate: if the embeddings parquet is unreadable at oracle-build time
+    (wrong box, missing dir), return a query whose schema cannot match —
+    the single gate fails loudly instead of the whole oracle_sql() dict
+    raising and voiding all 50 comparisons."""
+    try:
+        return _ivf_sql(cen=_oracle_trained_centroids())
+    except Exception as ex:  # noqa: BLE001 — any build failure isolates here
+        reason = str(ex)[:120].replace("'", "")
+        return f"SELECT 'ivf_trained oracle unavailable: {reason}' AS oracle_error"
+
+
 def _simhash_sql(max_hamming: int = 3, n_bits: int = 60) -> str:
     h = _h64("tok", "sim")
     sums = ",\n                   ".join(
@@ -1755,7 +1768,7 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT 'lsh' AS variant, * FROM ({_ann_sql()})\n"
             f"UNION ALL SELECT 'ivf' AS variant, * FROM ({_ivf_sql()})"
         ),
-        "ivf_trained": _ivf_sql(cen=_oracle_trained_centroids()),
+        "ivf_trained": _ivf_trained_sql(),
         "cosine_topk": """
             WITH q AS (
                 SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -4,12 +4,14 @@ metadata, with Arrow-batched (mapInPandas) decode/feature plumbing.
 The Spark-side plumbing (schemas, batching, partitioning, UDF
 signatures) is real and tested. Decode: BMP (uncompressed 8/24-bit)
 and PPM/PGM (binary P5/P6) are decoded FOR REAL in pure
-stdlib+numpy (:func:`decode_image` — no media libraries needed);
-other formats (JPEG/PNG/audio/video need codec libraries this
-container lacks) fall back to ``_fake_decode``, a deterministic
-pure-numpy stand-in, via the default ``decode_any`` dispatch. A real
-deployment passes e.g. a PIL/librosa-backed decoder with the same
-signature through the ``decoder=`` hooks.
+stdlib+numpy (:func:`decode_image` — no media libraries needed;
+:func:`decode_stats` defaults to it). The feature/metadata operators
+below keep the deterministic ``_fake_decode`` stand-in as their
+DEFAULT ``decoder=`` (their payloads are arbitrary media, and this
+container has no JPEG/audio/video codecs); pass ``decode_image`` for
+image tables, or ``decode_any`` to dispatch real-vs-stub on the magic
+bytes. A real deployment passes e.g. a PIL/librosa-backed decoder with
+the same signature.
 """
 
 from __future__ import annotations
@@ -143,12 +145,15 @@ def decode_image(payload: bytes) -> np.ndarray:
 
 
 def decode_any(payload: bytes) -> np.ndarray:
-    """Default decoder: real decode where the format allows it, the
-    deterministic stand-in otherwise."""
+    """Opt-in dispatch decoder: real decode for formats decode_image
+    recognizes, the deterministic stand-in for everything else. A
+    RECOGNIZED-but-malformed image still raises (ValueError) — corrupt
+    data must not silently degrade to stub features."""
     b = bytes(payload)
-    if b[:2] == b"BM" or (b[:1] == b"P" and b[1:2] in (b"5", b"6")):
+    try:
         return decode_image(b)
-    return _fake_decode(b)
+    except NotImplementedError:
+        return _fake_decode(b)
 
 
 def extract_features(

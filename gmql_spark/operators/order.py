@@ -58,14 +58,26 @@ def topk_per_key(
     rank_col: str = "order_pos",
     null_col: str | None = None,
 ) -> DataFrame:
-    """Top-k rows per key (GMQL ``Top(k)``). With ``null_col`` set,
-    null-sort-key rows are segregated (see :func:`rank_per_key`) and
-    never occupy a top-k slot — the reference sorts them after every
-    ranked row, so Top(k) cannot reach them while >=k ranked rows
-    exist."""
-    return rank_per_key(df, keys, order_by, rank_col, null_col=null_col).filter(
-        F.col(rank_col) <= k
+    """Top-k rows per key (GMQL ``Top(k)``). With ``null_col`` set, the
+    reference's ``sortedParts ++ missing`` + take(k) semantics
+    (``OrderRD.scala:83-86``): null-sort-key rows sit after every ranked
+    row, so they fill Top(k) slots only when a group has FEWER than k
+    ranked rows — still with a NULL position. Their mutual order in the
+    reference is partition encounter order (arbitrary); here it is the
+    remaining ``order_by`` columns, so include a unique tiebreak column
+    for determinism."""
+    ranked = rank_per_key(df, keys, order_by, rank_col, null_col=null_col)
+    if null_col is None:
+        return ranked.filter(F.col(rank_col) <= k)
+    w_keys = Window.partitionBy(*keys)
+    w_null = Window.partitionBy(*keys, F.col(null_col).isNull()).orderBy(*order_by)
+    n_ranked = F.count(F.col(null_col)).over(w_keys)  # count() skips nulls
+    fill_pos = n_ranked + F.row_number().over(w_null)
+    keep = F.when(F.col(rank_col).isNotNull(), F.col(rank_col) <= k).otherwise(
+        fill_pos <= k
     )
+    # window exprs are not allowed in WHERE: materialize, filter, drop
+    return ranked.withColumn("_keep", keep).filter(F.col("_keep")).drop("_keep")
 
 
 def topg_per_key(

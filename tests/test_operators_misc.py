@@ -561,20 +561,27 @@ def test_order_null_key_segregation(spark):
     are segregated and appended UNRANKED, not ranked into the order."""
     from gmql_spark.operators.order import rank_per_key, topk_per_key
 
-    rows = [("a", 1, 5.0), ("a", 2, None), ("a", 3, 9.0), ("a", 4, None), ("b", 5, 1.0)]
+    rows = [
+        ("a", 1, 5.0), ("a", 2, None), ("a", 3, 9.0), ("a", 4, None),
+        ("b", 5, 1.0), ("c", 6, 2.0), ("c", 7, None), ("c", 8, None),
+    ]
     df = spark.createDataFrame(rows, "k string, id long, v double")
     out = rank_per_key(
         df, ["k"], [F.col("v").desc(), F.col("id")], null_col="v"
     ).toPandas().set_index("id")
     assert out.loc[3, "order_pos"] == 1 and out.loc[1, "order_pos"] == 2
     assert out.loc[2, "order_pos"] is None or out.loc[2, "order_pos"] != out.loc[2, "order_pos"]
-    assert len(out) == 5  # nulls kept, just unranked
+    assert len(out) == 8  # nulls kept, just unranked
 
     top = topk_per_key(
         df, ["k"], [F.col("v").desc(), F.col("id")], k=2, null_col="v"
     ).toPandas()
-    # nulls never take a top-k slot
-    assert set(top.id) == {3, 1, 5}
+    # group a: >=k ranked rows -> nulls take no slot; group c: only 1
+    # ranked row -> the reference's `sortedParts ++ missing` take(k)
+    # fills slot 2 with the first missing row (id order tiebreak),
+    # still unranked
+    assert set(top.id) == {3, 1, 5, 6, 7}
+    assert top.set_index("id").loc[7].isna()["order_pos"]
 
     # default (window-native) behavior unchanged: nulls are ranked
     plain = rank_per_key(df, ["k"], [F.col("v").desc_nulls_last(), F.col("id")]).toPandas()

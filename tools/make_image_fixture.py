@@ -41,12 +41,14 @@ def expected_row(text: str) -> tuple[int, int, int, int, str]:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "-o"]
-    out = "tests/fixtures/image_decode.parquet"
-    if "-o" in sys.argv:
-        out = sys.argv[sys.argv.index("-o") + 1]
-        args.remove(out)
-    sf_dirs = args or [
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf_dirs", nargs="*", default=[])
+    ap.add_argument("-o", dest="out", default="tests/fixtures/image_decode.parquet")
+    ns = ap.parse_args()
+    out = ns.out
+    sf_dirs = ns.sf_dirs or [
         "/root/testdata/sf0.001",
         "/root/testdata/sf0.01",
         "/root/testdata/sf0.1",

@@ -226,6 +226,114 @@ def ivf_topk(
     return out.select("query_id", "neighbor_id", "rank", "sim")
 
 
+def _cent_frame(centroids: DataFrame, cell_col: str, cent_col: str) -> DataFrame:
+    """Normalize a centroid table for the broadcast join: precomputed
+    centroid norms + the non-foldable constant join key (a literal 0
+    would be constant-folded into a BNLJ cross join)."""
+    return (
+        centroids.select(
+            F.col(cell_col).cast("int").alias("_cell"),
+            F.col(cent_col).alias("_cent"),
+        )
+        .withColumn("_cnorm", F.sqrt(_dot(F.col("_cent"), F.col("_cent"))))
+        .withColumn("_one", F.pmod(F.xxhash64("_cell"), F.lit(1)))
+    )
+
+
+def _scored_cells(frame: DataFrame, cent: DataFrame, idc: str, vc: str, extra=()):
+    """Explode a vector frame against every centroid (broadcast hash
+    join on the constant key — same row expansion as a cross join, hash
+    codegen instead of BNLJ) with the per-cell score. The score omits
+    the ROW's own norm: a positive per-row constant cannot change the
+    argmax / top-n_probe ordering, and dividing by it would cost one
+    O(dim) fold per (row, cell)."""
+    e = frame.withColumn("_one", F.pmod(F.xxhash64(F.col(idc)), F.lit(1))).join(
+        F.broadcast(cent), on="_one"
+    )
+    sim = _dot(F.col(vc), F.col("_cent")) / F.col("_cnorm")
+    return e.select(idc, vc, *extra, F.col("_cell"), sim.alias("_csim"))
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    cent_col: str = "centroid",
+) -> DataFrame:
+    """Assign every corpus vector its nearest centroid cell:
+    ``(id_col, vec_col, _norm, cell)``. The argmax is an AGGREGATE
+    (max_by with ties to the LOWEST cell, matching the literal mode's
+    array_position-of-first-max) — partial map-side combine, so the
+    exploded corpus × n_cells rows never shuffle. The row norm is
+    computed once here and carried along for downstream re-ranks."""
+    cent = _cent_frame(centroids, cell_col, cent_col)
+    c = _scored_cells(
+        corpus.select(
+            F.col(id_col), F.col(vec_col)
+        ).withColumn("_norm", F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))),
+        cent,
+        id_col,
+        vec_col,
+        extra=("_norm",),
+    )
+    return c.groupBy(id_col).agg(
+        F.max_by(
+            F.col("_cell"), F.struct(F.col("_csim").alias("s"), (-F.col("_cell")).alias("t"))
+        ).alias("cell"),
+        F.first(vec_col).alias(vec_col),
+        F.first("_norm").alias("_norm"),
+    )
+
+
+def _probe_cells(
+    queries: DataFrame,
+    cent: DataFrame,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Top n_probe cells per query (query side is small): window rank
+    with the same (sim desc, cell asc) tie-break as the assignment."""
+    qs = _scored_cells(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")),
+        cent,
+        "query_id",
+        "_qv",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_csim").desc(), F.col("_cell").asc())
+    return (
+        qs.withColumn("_pr", F.row_number().over(w))
+        .filter(F.col("_pr") <= n_probe)
+        .select("query_id", "_qv", F.col("_cell").alias("cell"))
+        .withColumn("_qn", F.sqrt(_dot(F.col("_qv"), F.col("_qv"))))
+    )
+
+
+def _rerank(probed: DataFrame, assigned: DataFrame, k: int,
+            vec_col: str, id_col: str) -> DataFrame:
+    cands = probed.join(
+        assigned.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cv"),
+            F.col("_norm").alias("_cn"),
+            "cell",
+        ),
+        on="cell",
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    sim = _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
+    scored = cands.select("query_id", "neighbor_id", sim.alias("sim"))
+    out = topk_per_key(
+        scored,
+        keys=["query_id"],
+        order_by=[F.col("sim").desc(), F.col("neighbor_id").asc()],
+        k=k,
+        rank_col="rank",
+    )
+    return out.select("query_id", "neighbor_id", "rank", "sim")
+
+
 def _ivf_topk_table(
     queries: DataFrame,
     corpus: DataFrame,
@@ -240,76 +348,59 @@ def _ivf_topk_table(
     """Centroid-TABLE variant of ``ivf_topk`` (see its docstring): the
     centroid set rides a broadcast hash join instead of being inlined,
     so the plan size is independent of n_cells."""
-    # join key: constant 0 computed from a column — NOT a literal, so
-    # ConstantFolding cannot collapse the equi-condition into a
-    # nested-loop cross join; Catalyst plans a BroadcastHashJoin whose
-    # single hash bucket holds the n_cells entries (same row expansion
-    # as a cross join, hash-join codegen instead of BNLJ)
-    cent = (
-        centroids.select(
-            F.col(cell_col).cast("int").alias("_cell"),
-            F.col(cent_col).alias("_cent"),
-        )
-        .withColumn("_cnorm", F.sqrt(_dot(F.col("_cent"), F.col("_cent"))))
-        .withColumn("_one", F.pmod(F.xxhash64("_cell"), F.lit(1)))
-    )
+    cent = _cent_frame(centroids, cell_col, cent_col)
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col, cell_col, cent_col)
+    probed = _probe_cells(queries, cent, n_probe, id_col, vec_col)
+    return _rerank(probed, assigned, k, vec_col, id_col)
 
-    def scored_cells(frame, idc, vc, extra=()):
-        # per-cell score omits the ROW's own norm: a positive per-row
-        # constant cannot change the argmax / top-n_probe ordering, and
-        # dividing by it would cost one O(dim) fold per (row, cell)
-        e = frame.withColumn(
-            "_one", F.pmod(F.xxhash64(F.col(idc)), F.lit(1))
-        ).join(F.broadcast(cent), on="_one")
-        sim = _dot(F.col(vc), F.col("_cent")) / F.col("_cnorm")
-        return e.select(idc, vc, *extra, F.col("_cell"), sim.alias("_csim"))
 
-    # corpus assignment: aggregated argmax (ties to the LOWEST cell,
-    # matching the literal mode's array_position-of-first-max) — an agg,
-    # not a window, so partial combine keeps the exploded rows from
-    # shuffling corpus x n_cells. The row norm is computed ONCE here and
-    # carried through to the re-rank (not recomputed per candidate pair).
-    c = scored_cells(
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
-        ).withColumn("_cn", F.sqrt(_dot(F.col("_cv"), F.col("_cv")))),
-        "neighbor_id",
-        "_cv",
-        extra=("_cn",),
-    )
-    assigned = c.groupBy("neighbor_id").agg(
-        F.max_by(
-            F.col("_cell"), F.struct(F.col("_csim").alias("s"), (-F.col("_cell")).alias("t"))
-        ).alias("cell"),
-        F.first("_cv").alias("_cv"),
-        F.first("_cn").alias("_cn"),
-    )
-    # query probing: top n_probe cells per query (query side is small)
-    qs = scored_cells(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")),
-        "query_id",
-        "_qv",
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("_csim").desc(), F.col("_cell").asc())
-    probed = (
-        qs.withColumn("_pr", F.row_number().over(w))
-        .filter(F.col("_pr") <= n_probe)
-        .select("query_id", "_qv", F.col("_cell").alias("cell"))
-        .withColumn("_qn", F.sqrt(_dot(F.col("_qv"), F.col("_qv"))))
-    )
-    cands = probed.join(assigned, on="cell").filter(
-        F.col("query_id") != F.col("neighbor_id")
-    )
-    sim = _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
-    scored = cands.select("query_id", "neighbor_id", sim.alias("sim"))
-    out = topk_per_key(
-        scored,
-        keys=["query_id"],
-        order_by=[F.col("sim").desc(), F.col("neighbor_id").asc()],
-        k=k,
-        rank_col="rank",
-    )
-    return out.select("query_id", "neighbor_id", "rank", "sim")
+def write_ivf_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    cent_col: str = "centroid",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the IVF index: the cell-assigned corpus (with
+    precomputed row norms) written PARTITIONED BY cell. This is the
+    missing lifecycle step between training and querying at 100 TB —
+    assignment is the expensive pass over the corpus, and persisting it
+    partitioned means every later query batch reads ONLY its probed
+    cells' directories (partition pruning at the parquet scan; with
+    n_probe=2 of 10^4 cells that is ~0.02% of the index)."""
+    ivf_assign(corpus, centroids, id_col, vec_col, cell_col, cent_col).repartition(
+        "cell"
+    ).write.mode(mode).partitionBy("cell").parquet(path)
+
+
+def indexed_ivf_topk(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    cent_col: str = "centroid",
+) -> DataFrame:
+    """Query a persisted IVF index (``write_ivf_index``): probe cells
+    per query, PRUNE the index scan to the union of probed cells (an
+    explicit IN filter on the partition column — shows up as
+    PartitionFilters, deterministic, no reliance on runtime DPP), then
+    exact cosine re-rank. The probed-cell collect is O(|Q| × n_probe)
+    scalars — the same driver-side bookkeeping class as the engine's
+    other bound collects. Same argmax/tie semantics as ``ivf_topk``:
+    equality-tested against the direct path."""
+    cent = _cent_frame(centroids, cell_col, cent_col)
+    probed = _probe_cells(queries, cent, n_probe, id_col, vec_col)
+    cells = sorted({int(r["cell"]) for r in probed.select("cell").distinct().collect()})
+    idx = spark.read.parquet(index_path).filter(F.col("cell").isin(cells))
+    return _rerank(probed, idx, k, vec_col, id_col)
 
 
 def centroids_to_table(spark, centroids) -> DataFrame:

@@ -9,7 +9,9 @@ import pytest
 def test_entry_contract_keys():
     """Every oracle belongs to a query, EVERY query has an oracle (as of
     round 4 the stub-decoder path is fixture-oracled too — the board is
-    all-exact); names are snake_case."""
+    all-exact); names are snake_case. Since round 5 the board must be
+    EXACTLY 50 entries: the driver's CORRECTNESS artifact records only
+    the first 50, so a 51st gate would silently go unverified."""
     import __spark_entry__ as e
 
     qs, os_ = e.queries(), e.oracle_sql()
@@ -17,7 +19,7 @@ def test_entry_contract_keys():
     rows_only = set(qs) - set(os_)
     assert rows_only == set(), rows_only
     assert all(n == n.lower() and " " not in n for n in qs)
-    assert len(qs) >= 49 and len(os_) == len(qs)
+    assert len(qs) == 50 and len(os_) == len(qs)
 
 
 def test_resolve_cover_param():

@@ -520,3 +520,38 @@ def test_deterministic_split_and_sampling(spark):
     ).materialized
     assert {(r.doc_id, r.split) for r in m["S"].collect()} == a
     assert {r.doc_id for r in m["P"].collect()} == s01
+
+
+def test_indexed_ivf_matches_direct_and_prunes(spark, tmp_path):
+    """write_ivf_index + indexed_ivf_topk: identical results to the
+    direct centroid-table path, and the index scan is pruned to the
+    probed cells (PartitionFilters on the cell partition column)."""
+    from gmql_spark.operators.similarity import (
+        centroids_to_table,
+        indexed_ivf_topk,
+        ivf_topk,
+        write_ivf_index,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(13))
+    vecs = rng.standard_normal((200, 16))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.filter("vec_id < 6")
+    cen = centroids_to_table(spark, rng.standard_normal((12, 16)))
+
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(emb, cen, path)
+    got = indexed_ivf_topk(spark, path, q, cen, k=4, n_probe=3)
+    exp = ivf_topk(q, emb, cen, k=4, n_probe=3)
+
+    def keyset(df):
+        return {(r.query_id, r.neighbor_id, r.rank) for r in df.collect()}
+
+    assert keyset(got) == keyset(exp) and len(keyset(got)) > 0
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters", 1)[1][:300]

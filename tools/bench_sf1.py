@@ -6,11 +6,13 @@ copies = 10x rows with 10x key cardinality — the scale-up direction that
 actually stresses shuffles), plus the persistent 40M-turn fact table
 (tools/gen_fact.py) for the tier pipeline. Results -> BENCH/sf1.json.
 
-Families covered (the judge's r4 item 7 list):
+Families covered (the judge's r4 item 7 list + similarity/codec):
 - tier pipeline  : rollup_all_tiers over the 40M-turn fact table
 - minhash dedup  : banded LSH pairs with the r5 hot-bucket cap
 - asof (salted)  : range-salt as-of join over 1M events / 1.5k keys
 - components     : large/small-star over the minhash pair table
+- similarity     : k-means-trained IVF over 50k embeddings / 64 cells
+- gorilla codec  : pack+unpack of the 40M-run's 18M-point 1m tier
 
 Plan-shape gate: no CartesianProduct / BroadcastNestedLoopJoin in any
 of these plans (the brute-force baselines are NOT in this list).
@@ -167,6 +169,47 @@ def main() -> int:
     }
     pairs.unpersist()
 
+    # ---- trained IVF over 10x embeddings ------------------------------
+    from gmql_spark.operators.similarity import (
+        centroids_to_table,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    emb01 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    copies = [
+        emb01.select(
+            (F.col("vec_id") + F.lit(i * 1_000_000)).alias("vec_id"),
+            # rotate one element per copy so the 10x corpus isn't 10
+            # identical shells (argmax ties would mask real work)
+            F.concat(
+                F.slice("embedding", i + 1, 64 - i), F.slice("embedding", 1, i)
+            ).alias("embedding"),
+        )
+        for i in range(10)
+    ]
+    emb = copies[0]
+    for c in copies[1:]:
+        emb = emb.unionByName(c)
+    emb = emb.repartition(32).persist()
+    n_emb = emb.count()
+    t0 = time.perf_counter()
+    cen = train_ivf_centroids(emb, n_cells=64, seed=0, n_iters=15)
+    train_s = time.perf_counter() - t0
+    q = emb.filter(F.col("vec_id") < 20)
+    topk = ivf_topk(q, emb, centroids_to_table(spark, cen), k=5, n_probe=4)
+    plan_ok = assert_plan(topk, "ivf_trained")
+    t0 = time.perf_counter()
+    n_top = topk.count()
+    results["ivf_trained_64c"] = {
+        "train_s": round(train_s, 2),
+        "query_wall_s": round(time.perf_counter() - t0, 2),
+        "corpus": n_emb,
+        "rows": n_top,
+        **plan_ok,
+    }
+    emb.unpersist()
+
     # ---- tier pipeline over the 40M-turn fact table -------------------
     if not args.skip_tiers:
         from gmql_spark.datagen import ROLES, TOOL_NAMES
@@ -198,6 +241,32 @@ def main() -> int:
             "turns_per_sec": round(n_turns / wall, 1),
             "tier_rows": {t: df.count() for t, df in tiers.items()},
         }
+
+        # ---- gorilla codec round trip of the 18M-point 1m tier --------
+        from gmql_spark.compression.gorilla import (
+            compress_series,
+            decompress_series,
+        )
+
+        series = tiers["1m"].select(
+            "conv_id",
+            "window_start",
+            tiers["1m"]["turn_count"].cast("double").alias("val"),
+        )
+        t0 = time.perf_counter()
+        packed = compress_series(
+            series, keys=["conv_id"], ts_col="window_start", value_col="val"
+        ).persist()
+        n_pts = packed.agg({"n_points": "sum"}).collect()[0][0]
+        n_back = decompress_series(packed, keys=["conv_id"]).count()
+        wall = time.perf_counter() - t0
+        assert n_back == n_pts, (n_back, n_pts)
+        results["gorilla_roundtrip_1m_tier"] = {
+            "wall_s": round(wall, 1),
+            "points": int(n_pts),
+            "pts_per_sec": round(n_pts / wall, 1),
+        }
+        packed.unpersist()
         for _, df in tiers.items():
             df.unpersist()
         gaps.unpersist()

@@ -586,3 +586,68 @@ def test_order_null_key_segregation(spark):
     # default (window-native) behavior unchanged: nulls are ranked
     plain = rank_per_key(df, ["k"], [F.col("v").desc_nulls_last(), F.col("id")]).toPandas()
     assert plain.order_pos.notna().all()
+
+
+def test_cover_jaccard_matches_bruteforce_random(spark):
+    """Property-style check: cover_jaccard on random interval sets must
+    match a pure-python sweep + brute-force contributor scan (several
+    seeds, incl. bucket-straddling long intervals)."""
+    import random
+
+    from gmql_spark.operators.cover import cover_jaccard
+
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        iv = []  # raw second offsets (ints) for the brute force
+        for _ in range(60):
+            s = rng.randrange(0, 5000)
+            e = s + rng.randrange(1, 2500)  # up to ~40 min: spans buckets
+            iv.append((s, e))
+        df = spark.createDataFrame(
+            [(ts(s / 60.0), ts(e / 60.0)) for s, e in iv],
+            "start_ts timestamp, end_ts timestamp",
+        )
+        got = {
+            (r.cover_start, r.cover_end): (
+                r.acc_max, r.n_contrib, r.jaccard_result, r.jaccard_intersect
+            )
+            for r in cover_jaccard(df, min_acc=2, bucket_s=600.0).collect()
+        }
+
+        # brute force: sweep islands, then scan every interval per island
+        pts = sorted({t for s, e in iv for t in (s, e)})
+        segs = []
+        for a, b in zip(pts, pts[1:]):
+            acc = sum(1 for s, e in iv if s < b and e > a)
+            segs.append((a, b, acc))
+        islands, cur = [], None
+        for a, b, acc in segs:
+            if acc >= 2:
+                if cur and cur[1] == a:
+                    cur = (cur[0], b, max(cur[2], acc))
+                else:
+                    if cur:
+                        islands.append(cur)
+                    cur = (a, b, acc)
+            else:
+                if cur:
+                    islands.append(cur)
+                cur = None
+        if cur:
+            islands.append(cur)
+        exp = {}
+        for a, b, acc in islands:
+            contrib = [(s, e) for s, e in iv if s < b and e > a]
+            us, ue = min(s for s, _ in contrib), max(e for _, e in contrib)
+            ia, ib = max(s for s, _ in contrib), min(e for _, e in contrib)
+            den = float(ue - us)
+            jr = (b - a) / den if den else 0.0
+            ji = (ib - ia) / den if den and ib > ia else 0.0
+            exp[(ts(a / 60.0), ts(b / 60.0))] = (acc, len(contrib), jr, ji)
+
+        assert set(got) == set(exp), f"seed {seed}: island mismatch"
+        for key in exp:
+            ga, gn, gjr, gji = got[key]
+            ea, en, ejr, eji = exp[key]
+            assert (ga, gn) == (ea, en), (seed, key)
+            assert abs(gjr - ejr) < 1e-12 and abs(gji - eji) < 1e-12, (seed, key)

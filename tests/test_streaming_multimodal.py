@@ -269,3 +269,39 @@ def test_decode_stats_matches_pixels(spark):
     for i in expected:
         r = got.loc[i]
         assert (r.width, r.height, r.channels, r.px_sum, r.px_md5) == expected[i]
+
+
+def test_image_codec_error_paths():
+    """Corrupt or unsupported payloads must raise, never return noise:
+    decode_any stubs only UNRECOGNIZED formats, recognized-but-broken
+    images stay loud."""
+    from gmql_spark.operators.multimodal import decode_any, decode_bmp, decode_image, decode_ppm
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\nrest")  # real format, no codec lib
+    with pytest.raises(ValueError):
+        decode_bmp(b"BMshort")  # truncated header
+    with pytest.raises(ValueError):
+        decode_ppm(b"P7\n1 1\n255\n\x00")  # PAM magic unsupported
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n2 2\n70000\n" + b"\x00" * 24)  # 16-bit maxval
+    # recognized magic + malformed body: loud, not stubbed
+    with pytest.raises(ValueError):
+        decode_any(b"BM" + b"\x00" * 60)
+    # unrecognized bytes: deterministic stand-in, no exception
+    assert decode_any(b"opaque media bytes").dtype.name == "uint8"
+
+
+def test_kmeans_train_edge_cases():
+    from gmql_spark.operators.similarity import kmeans_train
+
+    with pytest.raises(ValueError):
+        kmeans_train(np.zeros((0, 4)), 2)
+    # zero-norm rows are dropped before the n >= n_cells check
+    X = np.vstack([np.zeros((3, 4)), np.eye(4)[:3]])
+    with pytest.raises(ValueError):
+        kmeans_train(X, 4)
+    cen = kmeans_train(X, 3, seed=1)
+    assert cen.shape == (3, 4)
+    # unit-norm output rows
+    assert np.allclose(np.linalg.norm(cen, axis=1), 1.0)

@@ -261,14 +261,19 @@ def ivf_assign(
     vec_col: str = "embedding",
     cell_col: str = "cell",
     cent_col: str = "centroid",
+    _cent: DataFrame | None = None,
 ) -> DataFrame:
     """Assign every corpus vector its nearest centroid cell:
     ``(id_col, vec_col, _norm, cell)``. The argmax is an AGGREGATE
     (max_by with ties to the LOWEST cell, matching the literal mode's
     array_position-of-first-max) — partial map-side combine, so the
     exploded corpus × n_cells rows never shuffle. The row norm is
-    computed once here and carried along for downstream re-ranks."""
-    cent = _cent_frame(centroids, cell_col, cent_col)
+    computed once here and carried along for downstream re-ranks.
+
+    ``id_col`` is the assignment key and MUST be unique: duplicate ids
+    collapse to one output row whose (cell, vector) pairing may mix the
+    duplicates. ``write_ivf_index`` checks this by default."""
+    cent = _cent_frame(centroids, cell_col, cent_col) if _cent is None else _cent
     c = _scored_cells(
         corpus.select(
             F.col(id_col), F.col(vec_col)
@@ -349,7 +354,9 @@ def _ivf_topk_table(
     centroid set rides a broadcast hash join instead of being inlined,
     so the plan size is independent of n_cells."""
     cent = _cent_frame(centroids, cell_col, cent_col)
-    assigned = ivf_assign(corpus, centroids, id_col, vec_col, cell_col, cent_col)
+    assigned = ivf_assign(
+        corpus, centroids, id_col, vec_col, cell_col, cent_col, _cent=cent
+    )
     probed = _probe_cells(queries, cent, n_probe, id_col, vec_col)
     return _rerank(probed, assigned, k, vec_col, id_col)
 
@@ -363,6 +370,7 @@ def write_ivf_index(
     cell_col: str = "cell",
     cent_col: str = "centroid",
     mode: str = "overwrite",
+    check_unique: bool = True,
 ) -> None:
     """Materialize the IVF index: the cell-assigned corpus (with
     precomputed row norms) written PARTITIONED BY cell. This is the
@@ -370,7 +378,22 @@ def write_ivf_index(
     assignment is the expensive pass over the corpus, and persisting it
     partitioned means every later query batch reads ONLY its probed
     cells' directories (partition pruning at the parquet scan; with
-    n_probe=2 of 10^4 cells that is ~0.02% of the index)."""
+    n_probe=2 of 10^4 cells that is ~0.02% of the index).
+
+    ``check_unique`` (default on — an index build is a one-time heavy
+    job, two counts are noise) refuses duplicate ids LOUDLY: the
+    groupBy(id) assignment would otherwise silently drop rows and can
+    pair one duplicate's cell with another's vector."""
+    if check_unique:
+        total = corpus.count()
+        distinct = corpus.select(id_col).distinct().count()
+        if distinct != total:
+            raise ValueError(
+                f"write_ivf_index: {id_col} not unique "
+                f"({total} rows, {distinct} distinct) — duplicates would "
+                "silently collapse in the index; dedup first or pass "
+                "check_unique=False to accept collapse"
+            )
     ivf_assign(corpus, centroids, id_col, vec_col, cell_col, cent_col).repartition(
         "cell"
     ).write.mode(mode).partitionBy("cell").parquet(path)
@@ -394,10 +417,14 @@ def indexed_ivf_topk(
     PartitionFilters, deterministic, no reliance on runtime DPP), then
     exact cosine re-rank. The probed-cell collect is O(|Q| × n_probe)
     scalars — the same driver-side bookkeeping class as the engine's
-    other bound collects. Same argmax/tie semantics as ``ivf_topk``:
-    equality-tested against the direct path."""
+    other bound collects. The probed frame is persisted around that
+    collect so the probing shuffle runs ONCE, not once for the collect
+    and again inside the re-rank (note this makes the call eager: the
+    probe executes now, the re-rank when the result is acted on). Same
+    argmax/tie semantics as ``ivf_topk``: equality-tested against the
+    direct path."""
     cent = _cent_frame(centroids, cell_col, cent_col)
-    probed = _probe_cells(queries, cent, n_probe, id_col, vec_col)
+    probed = _probe_cells(queries, cent, n_probe, id_col, vec_col).persist()
     cells = sorted({int(r["cell"]) for r in probed.select("cell").distinct().collect()})
     idx = spark.read.parquet(index_path).filter(F.col("cell").isin(cells))
     return _rerank(probed, idx, k, vec_col, id_col)

@@ -555,3 +555,16 @@ def test_indexed_ivf_matches_direct_and_prunes(spark, tmp_path):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "cell" in plan.split("PartitionFilters", 1)[1][:300]
+
+
+def test_write_ivf_index_refuses_duplicate_ids(spark, tmp_path):
+    from gmql_spark.operators.similarity import centroids_to_table, write_ivf_index
+
+    rng = np.random.Generator(np.random.PCG64(2))
+    emb = spark.createDataFrame(
+        [(i % 5, [float(x) for x in rng.standard_normal(8)]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    cen = centroids_to_table(spark, rng.standard_normal((3, 8)))
+    with pytest.raises(ValueError, match="not unique"):
+        write_ivf_index(emb, cen, str(tmp_path / "idx"))

@@ -11,7 +11,8 @@ Families covered (the judge's r4 item 7 list + similarity/codec):
 - minhash dedup  : banded LSH pairs with the r5 hot-bucket cap
 - asof (salted)  : range-salt as-of join over 1M events / 1.5k keys
 - components     : large/small-star over the minhash pair table
-- similarity     : k-means-trained IVF over 50k embeddings / 64 cells
+- similarity     : k-means-trained IVF over 10x the sf0.1 embeddings
+                   (20k vectors) / 64 cells
 - gorilla codec  : pack+unpack of the 40M-run's 18M-point 1m tier
 
 Plan-shape gate: no CartesianProduct / BroadcastNestedLoopJoin in any
@@ -177,13 +178,15 @@ def main() -> int:
     )
 
     emb01 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    dim = len(emb01.select("embedding").first()[0])  # never hardcode: a
+    # wider regenerated fixture would silently truncate under slice()
     copies = [
         emb01.select(
             (F.col("vec_id") + F.lit(i * 1_000_000)).alias("vec_id"),
             # rotate one element per copy so the 10x corpus isn't 10
             # identical shells (argmax ties would mask real work)
             F.concat(
-                F.slice("embedding", i + 1, 64 - i), F.slice("embedding", 1, i)
+                F.slice("embedding", i + 1, dim - i), F.slice("embedding", 1, i)
             ).alias("embedding"),
         )
         for i in range(10)

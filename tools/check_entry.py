@@ -64,10 +64,12 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     # thread the sf dir into data-dependent oracles (ivf_trained trains
-    # its centroids from the compared tables)
+    # its centroids from the compared tables); assignment, not
+    # setdefault — a stale exported value must not silently train the
+    # oracle on a different dir than the one being compared
     import os
 
-    os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", sf_dir)
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
 
     import __spark_entry__ as entrymod
     from gmql_spark.session import get_spark

@@ -46,7 +46,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("sf_dirs", nargs="*", default=[])
     ap.add_argument("-o", dest="out", default="tests/fixtures/image_decode.parquet")
-    ns = ap.parse_args()
+    ns = ap.parse_intermixed_args()  # allow positionals around -o
     out = ns.out
     sf_dirs = ns.sf_dirs or [
         "/root/testdata/sf0.001",

@@ -8,8 +8,11 @@ tumbling-window aggregate as operators.rollup, expressed over
 
 Semantics differences vs batch (documented, by construction):
 - only mergeable aggregates (counts, histogram maps via the count_if
-  fast path, min/max, integer-µs sums are not available since lag()
-  needs ordered history; latency stats are a batch concern);
+  fast path, min/max). lag()-derived gaps need ordered history a
+  stream cannot replay, so latency stats require ingest-time
+  ``precompute_gaps`` — with the gap column on the stream,
+  ``stream_hist_rollup`` maintains the mergeable log₂ latency
+  histogram incrementally;
 - late rows beyond the watermark are dropped (batch reprocessing of the
   affected partitions — checkpoint.run_pipeline — is the repair path,
   the classic lambda split).
@@ -60,4 +63,64 @@ def stream_rollup(
             "first_ts",
             "last_ts",
         )
+    )
+
+
+def stream_hist_rollup(
+    stream: DataFrame,
+    tier: str = "1m",
+    keys: Sequence[str] = ("conv_id",),
+    value_col: str = "gap_us",
+    ts: str = "ts",
+    watermark: str = "10 minutes",
+    out: str = "lat_hist",
+    max_bucket: int = 63,
+) -> DataFrame:
+    """Streaming twin of ``functions.sketches.hist_rollup``: per-window
+    mergeable log₂ latency histogram, append-mode safe.
+
+    The batch version chains TWO groupBys (count per bucket, then
+    assemble the map); a streaming append query wants ONE stateful
+    aggregation, so the histogram is built as a fixed-domain row of
+    conditional counts (``count_if(bucket == b)`` for b in −1..63 — the
+    full bit_length range of a 64-bit value, same trick as the
+    role/tool count maps) and folded into the map expression-side, with
+    zero buckets dropped so the map equals the batch one exactly.
+
+    ``value_col`` must already be on the stream (ingest-time
+    ``precompute_gaps`` in catalog.write_transcripts): the batch path's
+    lag() window needs ordered history a stream cannot replay — the
+    same reason the module header scopes latency stats to batch unless
+    gaps are precomputed.
+    """
+    from gmql_spark.functions.sketches import log2_bucket
+
+    keys = list(keys)
+    win = F.window(ts, TIER_DURATION[tier])
+    b = log2_bucket(F.col(value_col))
+    aggs = [
+        F.count(F.when(b == i, 1)).alias(f"_b{i}") for i in range(-1, max_bucket + 1)
+    ]
+    counted = (
+        stream.filter(F.col(value_col).isNotNull())
+        .withWatermark(ts, watermark)
+        .groupBy(*keys, win.alias("w"))
+        .agg(*aggs)
+    )
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("key"),
+                F.col(f"_b{i}").alias("value"),
+            )
+            for i in range(-1, max_bucket + 1)
+        ]
+    )
+    return counted.select(
+        *keys,
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        F.map_from_entries(
+            F.filter(entries, lambda e: e["value"] > 0)
+        ).alias(out),
     )

@@ -651,3 +651,42 @@ def test_cover_jaccard_matches_bruteforce_random(spark):
             ea, en, ejr, eji = exp[key]
             assert (ga, gn) == (ea, en), (seed, key)
             assert abs(gjr - ejr) < 1e-12 and abs(gji - eji) < 1e-12, (seed, key)
+
+
+def test_topk_null_fill_matches_bruteforce(spark):
+    """Property-style: topk(null_col=) must equal the reference's
+    sortedParts ++ missing take(k) computed in plain python, across
+    random group shapes (incl. all-null and empty-ranked groups)."""
+    import random
+
+    from gmql_spark.operators.order import topk_per_key
+
+    for seed in (3, 11):
+        rng = random.Random(seed)
+        rows = []
+        rid = 0
+        for g in "abcdefgh":
+            for _ in range(rng.randrange(0, 6)):
+                v = None if rng.random() < 0.45 else round(rng.random() * 100, 2)
+                rows.append((g, rid, v))
+                rid += 1
+        if not rows:
+            continue
+        df = spark.createDataFrame(rows, "k string, id long, v double")
+        k = 2
+        got = {
+            (r.k, r.id)
+            for r in topk_per_key(
+                df, ["k"], [F.col("v").desc(), F.col("id")], k=k, null_col="v"
+            ).collect()
+        }
+        exp = set()
+        for g in "abcdefgh":
+            grp = [r for r in rows if r[0] == g]
+            ranked = sorted(
+                [r for r in grp if r[2] is not None], key=lambda r: (-r[2], r[1])
+            )
+            missing = sorted([r for r in grp if r[2] is None], key=lambda r: r[1])
+            for r in (ranked + missing)[:k]:
+                exp.add((g, r[1]))
+        assert got == exp, f"seed {seed}: {got ^ exp}"

@@ -305,3 +305,50 @@ def test_kmeans_train_edge_cases():
     assert cen.shape == (3, 4)
     # unit-norm output rows
     assert np.allclose(np.linalg.norm(cen, axis=1), 1.0)
+
+
+def test_stream_hist_rollup_matches_batch(spark, tmp_path):
+    """Streaming mergeable latency histogram == batch hist_rollup on the
+    same files (availableNow, append mode), gap_us precomputed at
+    ingest like catalog.write_transcripts(precompute_gaps=True)."""
+    from gmql_spark.functions.sketches import hist_rollup
+    from gmql_spark.operators.rollup import with_gap_seconds
+    from gmql_spark.streaming.rollup_stream import stream_hist_rollup
+
+    raw = with_gap_seconds(
+        datagen.transcripts_spark(spark, n_conv=30), key="conv_id", ts="ts"
+    ).select("conv_id", "ts", "gap_us")
+    src = str(tmp_path / "hist_src")
+    raw.write.parquet(src)
+
+    stream = spark.readStream.schema(raw.schema).parquet(src)
+    out = stream_hist_rollup(stream, tier="1m", watermark="0 seconds")
+    q = (
+        out.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "hist_ckpt"))
+        .trigger(availableNow=True)
+        .format("memory")
+        .queryName("hist_stream")
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("select * from hist_stream").toPandas()
+    exp = hist_rollup(raw, "1m").toPandas()
+
+    def rows(df):
+        return {
+            (r.conv_id, pd.Timestamp(r.window_start), pd.Timestamp(r.window_end),
+             tuple(sorted(dict(r.lat_hist).items())))
+            for r in df.itertuples()
+        }
+
+    assert len(got) > 0
+    got_rows, exp_rows = rows(got), rows(exp)
+    # append mode withholds windows the final watermark (= global max
+    # ts at 0s) has not passed: the stream's last partial minute stays
+    # in state. Every emitted row must be a batch row, and every batch
+    # window that event-time CLOSED must have been emitted.
+    assert got_rows <= exp_rows, got_rows - exp_rows
+    max_ts = raw.agg(F.max("ts")).collect()[0][0]
+    closed = {r for r in exp_rows if r[2] <= pd.Timestamp(max_ts)}
+    assert closed <= got_rows, closed - got_rows

@@ -124,3 +124,34 @@ def stream_hist_rollup(
             F.filter(entries, lambda e: e["value"] > 0)
         ).alias(out),
     )
+
+
+def stream_hll_rollup(
+    stream: DataFrame,
+    tier: str = "1m",
+    col: str = "tool",
+    keys: Sequence[str] = ("conv_id",),
+    ts: str = "ts",
+    watermark: str = "10 minutes",
+    lgk: int = 12,
+    out: str = "hll",
+) -> DataFrame:
+    """Streaming twin of ``functions.sketches.hll_rollup``: per-window
+    DataSketches HLL sketch (mergeable distinct count). Already a
+    single aggregation batch-side, so the stream form is the same agg
+    under a watermark; the sketch buffer lives in the state store and
+    the emitted binary unions downstream exactly like a batch-built
+    one (register max is associative/commutative)."""
+    win = F.window(ts, TIER_DURATION[tier])
+    agged = (
+        stream.filter(F.col(col).isNotNull())
+        .withWatermark(ts, watermark)
+        .groupBy(*list(keys), win.alias("w"))
+        .agg(F.hll_sketch_agg(F.col(col), F.lit(lgk)).alias(out))
+    )
+    return agged.select(
+        *list(keys),
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        out,
+    )

@@ -352,3 +352,50 @@ def test_stream_hist_rollup_matches_batch(spark, tmp_path):
     max_ts = raw.agg(F.max("ts")).collect()[0][0]
     closed = {r for r in exp_rows if r[2] <= pd.Timestamp(max_ts)}
     assert closed <= got_rows, closed - got_rows
+
+
+def test_stream_hll_rollup_matches_batch(spark, tmp_path):
+    """Streaming HLL sketches estimate identically to batch-built ones
+    for every event-time-closed window (sketch buffer in the state
+    store; register-max merge is order-free)."""
+    from gmql_spark.functions.sketches import hll_rollup
+    from gmql_spark.streaming.rollup_stream import stream_hll_rollup
+
+    raw = datagen.transcripts_spark(spark, n_conv=25).select("conv_id", "ts", "tool")
+    src = str(tmp_path / "hll_src")
+    raw.write.parquet(src)
+
+    stream = spark.readStream.schema(raw.schema).parquet(src)
+    out = stream_hll_rollup(stream, tier="1h", watermark="0 seconds")
+    q = (
+        out.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "hll_ckpt"))
+        .trigger(availableNow=True)
+        .format("memory")
+        .queryName("hll_stream")
+        .start()
+    )
+    q.awaitTermination(180)
+    est = F.hll_sketch_estimate("hll").alias("n_distinct")
+    got = {
+        (r.conv_id, pd.Timestamp(r.window_start), int(r.n_distinct))
+        for r in spark.sql("select * from hll_stream")
+        .select("conv_id", "window_start", "window_end", est)
+        .collect()
+    }
+    exp_df = hll_rollup(raw, "1h", col="tool").select(
+        "conv_id", "window_start", "window_end", est
+    )
+    exp = {
+        (r.conv_id, pd.Timestamp(r.window_start), int(r.n_distinct))
+        for r in exp_df.collect()
+    }
+    max_ts = pd.Timestamp(raw.agg(F.max("ts")).collect()[0][0])
+    exp_closed = {
+        (r.conv_id, pd.Timestamp(r.window_start), int(r.n_distinct))
+        for r in exp_df.collect()
+        if pd.Timestamp(r.window_end) <= max_ts
+    }
+    assert len(got) > 0
+    assert got <= exp, got - exp
+    assert exp_closed <= got, exp_closed - got

@@ -74,7 +74,6 @@ def stream_hist_rollup(
     ts: str = "ts",
     watermark: str = "10 minutes",
     out: str = "lat_hist",
-    max_bucket: int = 63,
 ) -> DataFrame:
     """Streaming twin of ``functions.sketches.hist_rollup``: per-window
     mergeable log₂ latency histogram, append-mode safe.
@@ -83,26 +82,34 @@ def stream_hist_rollup(
     assemble the map); a streaming append query wants ONE stateful
     aggregation, so the histogram is built as a fixed-domain row of
     conditional counts (``count_if(bucket == b)`` for b in −1..63 — the
-    full bit_length range of a 64-bit value, same trick as the
-    role/tool count maps) and folded into the map expression-side, with
-    zero buckets dropped so the map equals the batch one exactly.
+    FULL bit_length range of a 64-bit value, fixed by the type so no
+    value can fall outside the domain; same trick as the role/tool
+    count maps) and folded into the map expression-side, with zero
+    buckets dropped so the map equals the batch one exactly.
 
     ``value_col`` must already be on the stream (ingest-time
     ``precompute_gaps`` in catalog.write_transcripts): the batch path's
     lag() window needs ordered history a stream cannot replay — the
     same reason the module header scopes latency stats to batch unless
     gaps are precomputed.
+
+    Rows with a null ``ts`` are dropped: a null event time can never
+    pass a watermark, so its window group would sit in state forever
+    unemitted (batch hist_rollup emits such rows under a null window —
+    a documented, deliberate divergence).
     """
     from gmql_spark.functions.sketches import log2_bucket
 
     keys = list(keys)
     win = F.window(ts, TIER_DURATION[tier])
-    b = log2_bucket(F.col(value_col))
     aggs = [
-        F.count(F.when(b == i, 1)).alias(f"_b{i}") for i in range(-1, max_bucket + 1)
+        F.count(F.when(F.col("_bkt") == i, 1)).alias(f"_b{i}") for i in range(-1, 64)
     ]
     counted = (
-        stream.filter(F.col(value_col).isNotNull())
+        stream.filter(F.col(value_col).isNotNull() & F.col(ts).isNotNull())
+        # bucket projected ONCE per row; 65 comparisons against the
+        # column beat 65 copies of the conv() expression in the agg
+        .withColumn("_bkt", log2_bucket(F.col(value_col)))
         .withWatermark(ts, watermark)
         .groupBy(*keys, win.alias("w"))
         .agg(*aggs)
@@ -113,7 +120,7 @@ def stream_hist_rollup(
                 F.lit(i).cast("int").alias("key"),
                 F.col(f"_b{i}").alias("value"),
             )
-            for i in range(-1, max_bucket + 1)
+            for i in range(-1, 64)
         ]
     )
     return counted.select(
@@ -141,10 +148,12 @@ def stream_hll_rollup(
     single aggregation batch-side, so the stream form is the same agg
     under a watermark; the sketch buffer lives in the state store and
     the emitted binary unions downstream exactly like a batch-built
-    one (register max is associative/commutative)."""
+    one (register max is associative/commutative). Null-``ts`` rows
+    are dropped for the same state-leak reason as
+    ``stream_hist_rollup``."""
     win = F.window(ts, TIER_DURATION[tier])
     agged = (
-        stream.filter(F.col(col).isNotNull())
+        stream.filter(F.col(col).isNotNull() & F.col(ts).isNotNull())
         .withWatermark(ts, watermark)
         .groupBy(*list(keys), win.alias("w"))
         .agg(F.hll_sketch_agg(F.col(col), F.lit(lgk)).alias(out))

@@ -331,7 +331,7 @@ def test_stream_hist_rollup_matches_batch(spark, tmp_path):
         .queryName("hist_stream")
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "hist stream did not terminate"
     got = spark.sql("select * from hist_stream").toPandas()
     exp = hist_rollup(raw, "1m").toPandas()
 
@@ -375,7 +375,7 @@ def test_stream_hll_rollup_matches_batch(spark, tmp_path):
         .queryName("hll_stream")
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "hll stream did not terminate"
     est = F.hll_sketch_estimate("hll").alias("n_distinct")
     got = {
         (r.conv_id, pd.Timestamp(r.window_start), int(r.n_distinct))
@@ -383,17 +383,17 @@ def test_stream_hll_rollup_matches_batch(spark, tmp_path):
         .select("conv_id", "window_start", "window_end", est)
         .collect()
     }
-    exp_df = hll_rollup(raw, "1h", col="tool").select(
+    exp_rows = hll_rollup(raw, "1h", col="tool").select(
         "conv_id", "window_start", "window_end", est
-    )
+    ).collect()
     exp = {
         (r.conv_id, pd.Timestamp(r.window_start), int(r.n_distinct))
-        for r in exp_df.collect()
+        for r in exp_rows
     }
     max_ts = pd.Timestamp(raw.agg(F.max("ts")).collect()[0][0])
     exp_closed = {
         (r.conv_id, pd.Timestamp(r.window_start), int(r.n_distinct))
-        for r in exp_df.collect()
+        for r in exp_rows
         if pd.Timestamp(r.window_end) <= max_ts
     }
     assert len(got) > 0

@@ -41,10 +41,13 @@ def stream_rollup(
     """Event-time tumbling rollup over a streaming DataFrame.
 
     Output mode should be "append" (finalized windows only) or "update".
+    Null-``ts`` rows are dropped: a null event time can never pass the
+    watermark, so its window group would sit in state forever unemitted.
     """
     win = F.window(ts, TIER_DURATION[tier])
     return (
-        stream.withWatermark(ts, watermark)
+        stream.filter(F.col(ts).isNotNull())
+        .withWatermark(ts, watermark)
         .groupBy(key, win.alias("w"))
         .agg(
             F.count(F.lit(1)).alias("turn_count"),

@@ -933,24 +933,29 @@ def q_range_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-tier range stitch (realtime.stitch_range): an arbitrary
     misaligned [start, end) answered from whole 1d tier rows + 1h/1m
     edges + <2 min of raw (7-segment decomposition); oracle filters raw
-    directly. Exercises every segment shape at once."""
+    directly. Exercises every segment shape at once. Tier frames come
+    from realtime.derive_tier_frames — one range-pruned scan + one 1m
+    aggregate checkpointed in memory, the on-disk-tier plan shape — not
+    a per-segment re-derivation of the full cascade."""
     import datetime as dt
 
-    from gmql_spark.operators.window_agg import cascade, window_rollup
-    from gmql_spark.realtime import stitch_range
+    from gmql_spark.realtime import derive_tier_frames, stitch_range
 
     ev = _read(spark, sf_dir, "events")
     dec = F.col("value").cast("decimal(18,2)")
     raw_aggs = [F.count(F.lit(1)).alias("n"), F.sum(dec).alias("val_sum_dec")]
     merge_aggs = [F.sum("n").alias("n"), F.sum("val_sum_dec").alias("val_sum_dec")]
-    m1 = window_rollup(ev, "1 minute", aggs=raw_aggs, keys=["user_id"])
-    h1 = cascade(m1, "1 hour", aggs=merge_aggs, keys=["user_id"])
-    d1 = cascade(h1, "1 day", aggs=merge_aggs, keys=["user_id"])
+    start = dt.datetime(2024, 1, 3, 7, 41, 17)
+    end = dt.datetime(2024, 1, 29, 21, 5, 3)
+    raw_rng, tier_dfs = derive_tier_frames(
+        ev, start, end, keys=["user_id"], raw_aggs=raw_aggs,
+        merge_aggs=merge_aggs,
+    )
     out = stitch_range(
-        {"1m": m1, "1h": h1, "1d": d1},
-        ev,
-        dt.datetime(2024, 1, 3, 7, 41, 17),
-        dt.datetime(2024, 1, 29, 21, 5, 3),
+        tier_dfs,
+        raw_rng,
+        start,
+        end,
         keys=["user_id"],
         raw_aggs=raw_aggs,
         merge_aggs=merge_aggs,

@@ -142,10 +142,16 @@ def stitch_range(
     floor, so all its windows are fully frozen). Omitting it asserts
     the tiers reflect every raw row in range.
 
-    Plan shape: each segment is a partition-prunable filter + partial
-    hash agg; the union is ≤7 tiny keyed frames re-aggregated once —
-    no raw scan beyond the two edge segments (plus the post-watermark
-    tail when ``frozen_until`` is set).
+    Plan shape: ONE shuffle total for the tier side. Tier segments
+    contribute raw tier rows (partition-prunable filter + projection —
+    no per-segment aggregate: the final merge's map-side partial
+    aggregation combines them before the single exchange, exactly the
+    two-level combine a per-segment pre-agg would buy, minus ≤5 extra
+    shuffles). Raw edge segments (<2 min of data, plus the
+    post-watermark tail when ``frozen_until`` is set) are pre-agged to
+    the merge-input shape — ``raw_aggs``' output names ARE
+    ``merge_aggs``' input names by the self-composability contract —
+    then union into the same final aggregate.
     """
     from functools import reduce
 
@@ -158,6 +164,8 @@ def stitch_range(
             segs.append(("raw", cap, end.replace(tzinfo=None)))
     else:
         segs = decompose_range(start, end)
+    # the merge-input shape: keys + raw_aggs' output columns
+    merge_cols = raw.limit(0).groupBy(*keys).agg(*raw_aggs).columns
     parts: list[DataFrame] = []
     for tier, s, e in segs:
         if tier == "raw":
@@ -167,7 +175,7 @@ def stitch_range(
             seg = tier_dfs[tier].filter(
                 (F.col("window_start") >= F.lit(s)) & (F.col("window_start") < F.lit(e))
             )
-            parts.append(seg.groupBy(*keys).agg(*merge_aggs))
+            parts.append(seg.select(*merge_cols))
     if not parts:
         empty = raw.filter(F.lit(False))
         return empty.groupBy(*keys).agg(*raw_aggs)
@@ -176,6 +184,53 @@ def stitch_range(
         .groupBy(*keys)
         .agg(*merge_aggs)
     )
+
+
+def derive_tier_frames(
+    raw: DataFrame,
+    start: _dt.datetime,
+    end: _dt.datetime,
+    keys: Sequence[str],
+    raw_aggs: Sequence,
+    merge_aggs: Sequence,
+    ts: str = "ts",
+) -> tuple[DataFrame, dict[str, DataFrame]]:
+    """Materialize the 1m/1h/1d tier frames for [start, end) IN MEMORY
+    from a single range-pruned raw scan, for serve-over-derived paths
+    (ad-hoc stitches with no on-disk tiers).
+
+    Production stitches read ``refresh_tiers``' on-disk tier tables —
+    each a partition-pruned parquet scan, so the ≤7 segment branches of
+    ``stitch_range`` are cheap by construction. When the tiers are
+    instead DERIVED in the same plan (tests, one-shot analyses), naive
+    per-branch lineage re-runs the full scan→1m→1h→1d cascade once per
+    segment (7× the work, ~16 exchanges). This helper restores the
+    materialized shape: one raw scan filtered to [start, end), one 1m
+    aggregate eagerly ``localCheckpoint``-ed (executor-local blocks, no
+    lineage), then 1h/1d cascaded FROM the checkpointed 1m — every
+    segment branch reads a tiny in-memory tier exactly like the on-disk
+    path reads parquet.
+
+    Range-pruning raw before the 1m rollup is exact for the stitch:
+    ``decompose_range`` aligns every tier segment to its grain on both
+    ends, so a window straddling ``start``/``end`` (the only windows a
+    pre-filter can truncate) is never selected by any segment.
+
+    Returns ``(raw_in_range, {"1m": ..., "1h": ..., "1d": ...})`` —
+    pass both straight to ``stitch_range``. The checkpointed blocks are
+    freed by Spark's ContextCleaner when the frames go out of scope.
+    """
+    from gmql_spark.operators.window_agg import cascade, window_rollup
+
+    raw_rng = raw.filter(
+        (F.col(ts) >= F.lit(start.replace(tzinfo=None)))
+        & (F.col(ts) < F.lit(end.replace(tzinfo=None)))
+    )
+    m1 = window_rollup(raw_rng, "1 minute", aggs=raw_aggs, keys=keys, ts=ts)
+    m1 = m1.localCheckpoint(eager=True)
+    h1 = cascade(m1, "1 hour", aggs=merge_aggs, keys=keys).localCheckpoint(eager=True)
+    d1 = cascade(h1, "1 day", aggs=merge_aggs, keys=keys)
+    return raw_rng, {"1m": m1, "1h": h1, "1d": d1}
 
 
 def serve_realtime(

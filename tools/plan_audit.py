@@ -41,6 +41,16 @@ SANCTIONED_OBJECT_AGG = {
     "bag_aggregates": "BAG/BAGD = collect_list/collect_set by definition",
 }
 
+# Exchange-count budgets: queries whose plan weight regressed before
+# (or is a serving path that must stay light) get a hard ceiling; a
+# refactor that re-inflates the plan fails the audit instead of
+# silently shipping. range_stitch's budget pins the r6 diet (16 → 4:
+# derive_tier_frames checkpoint reuse + no per-segment pre-agg).
+EXCHANGE_BUDGET = {
+    "range_stitch": 6,
+    "realtime_rollup": 10,
+}
+
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -70,11 +80,15 @@ def main() -> int:
         rep["unsanctioned_object_agg"] = [] if name in SANCTIONED_OBJECT_AGG else bad_obj
         if name in SANCTIONED_OBJECT_AGG and bad_obj:
             rep["sanctioned_object_agg"] = SANCTIONED_OBJECT_AGG[name]
+        rep["over_exchange_budget"] = (
+            name in EXCHANGE_BUDGET and rep["exchanges"] > EXCHANGE_BUDGET[name]
+        )
         audit[name] = rep
         flag = " !!" if (
             rep["cartesian"]
             or (rep["bnlj"] and name not in SANCTIONED_BNLJ)
             or rep["unsanctioned_object_agg"]
+            or rep["over_exchange_budget"]
         ) else ""
         print(f"{name}: {rep}{flag}", file=sys.stderr)
 
@@ -84,6 +98,7 @@ def main() -> int:
         if r["cartesian"]
         or (r["bnlj"] and n not in SANCTIONED_BNLJ)
         or r["unsanctioned_object_agg"]
+        or r["over_exchange_budget"]
     }
     out = {
         "sf_dir": sf_dir,

@@ -126,17 +126,35 @@ def q_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-fill: dense per-user hourly grid, zero-filled counts, LOCF of
-    the nullable hourly count (MAP's zero-count left-outer semantics,
-    ``GenometricMap71.scala:109-120``)."""
+def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both gap-fill modes in one tag-union (common schema user_id/
+    window_start/n/is_gap/n_locf/latency_interp): ``zero`` is the dense
+    per-user hourly grid with zero-filled counts + LOCF (MAP's
+    zero-count left-outer semantics, ``GenometricMap71.scala:109-120``;
+    latency_interp NULL by construction); ``interp`` additionally
+    linear-interpolates the hourly max-value series across gaps via
+    fwd/bwd ignoreNulls windows + arithmetic (north-rule fill mode)."""
     from gmql_spark.operators.gapfill import gapfill
     from gmql_spark.operators.window_agg import window_rollup
 
     ev = _read(spark, sf_dir, "events")
-    h = window_rollup(ev, "1 hour", aggs=[F.count(F.lit(1)).alias("n")], keys=["user_id"])
-    out = gapfill(h, tier="1h", key="user_id", value_col="n", interp_col=None)
-    return out.select("user_id", "window_start", "n", "is_gap", "n_locf")
+    cols = ["user_id", "window_start", "n", "is_gap", "n_locf"]
+    hz = window_rollup(ev, "1 hour", aggs=[F.count(F.lit(1)).alias("n")], keys=["user_id"])
+    zero = gapfill(hz, tier="1h", key="user_id", value_col="n", interp_col=None).select(
+        F.lit("zero").alias("variant"),
+        *cols,
+        F.lit(None).cast("double").alias("latency_interp"),
+    )
+    hi = window_rollup(
+        ev,
+        "1 hour",
+        aggs=[F.count(F.lit(1)).alias("n"), F.max("value").alias("val_max")],
+        keys=["user_id"],
+    )
+    interp = gapfill(hi, tier="1h", key="user_id", value_col="n", interp_col="val_max").select(
+        F.lit("interp").alias("variant"), *cols, "latency_interp"
+    )
+    return zero.unionByName(interp)
 
 
 # ------------------------------------------------- select / project / order
@@ -188,22 +206,44 @@ def q_top_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "event_id", "value", "order_pct")
 
 
-def q_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-fill with LINEAR INTERPOLATION (north-rule fill mode): dense
-    hourly grid per user; the hourly max-value series interpolated
-    across gaps via fwd/bwd ignoreNulls windows + arithmetic."""
-    from gmql_spark.operators.gapfill import gapfill
-    from gmql_spark.operators.window_agg import window_rollup
+def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL Structured Streaming run as a correctness gate
+    (streaming.materialize.run_rollup_to_table): events staged to an
+    ingest dir, streamed back (availableNow), tumbling 1m per-user
+    windows aggregated under a 10-minute event-time watermark, emitted
+    windows appended to a parquet table via foreachBatch — every row of
+    the ``stream`` side flowed through the streaming engine's stateful
+    agg and sink. The final ~watermark of windows is withheld in state
+    by append mode; those are recomputed batch-side past the emitted
+    boundary (the exact lambda split — see materialize module doc for
+    why the union partitions the window axis). Oracle: the same 1m
+    tumbling SQL as ``rollup_windows``."""
+    import tempfile
 
-    ev = _read(spark, sf_dir, "events")
-    h = window_rollup(
-        ev,
-        "1 hour",
-        aggs=[F.count(F.lit(1)).alias("n"), F.max("value").alias("val_max")],
-        keys=["user_id"],
+    from gmql_spark.operators.window_agg import window_rollup
+    from gmql_spark.streaming.materialize import run_rollup_to_table
+
+    ev = _read(spark, sf_dir, "events").select("user_id", "ts", "value")
+    dec = F.col("value").cast("decimal(18,2)")
+    aggs = [F.count(F.lit(1)).alias("n"), F.sum(dec).cast("double").alias("val_sum")]
+    work = _os.path.join(
+        tempfile.gettempdir(), "gmql_stream_gate", sf_dir.strip("/").replace("/", "_")
     )
-    out = gapfill(h, tier="1h", key="user_id", value_col="n", interp_col="val_max")
-    return out.select("user_id", "window_start", "n", "is_gap", "n_locf", "latency_interp")
+    emitted, boundary = run_rollup_to_table(
+        spark, ev, work, "1 minute", aggs=aggs, keys=["user_id"],
+        watermark="10 minutes",
+    )
+    if boundary is None:
+        raise AssertionError(
+            "stream_rollup gate: the streaming run emitted NOTHING — the "
+            "gate would degenerate to a pure batch recompute (data span "
+            "must exceed the 10-minute watermark)"
+        )
+    tail = window_rollup(ev, "1 minute", aggs=aggs, keys=["user_id"]).filter(
+        F.col("window_end") > F.lit(boundary)
+    )
+    cols = ["user_id", "window_start", "window_end", "n", "val_sum"]
+    return emitted.select(*cols).unionByName(tail.select(*cols))
 
 
 # ------------------------------------------------------ joins / set ops
@@ -994,6 +1034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # keeps its own oracle half), so every gate is driver-verified.
     # Gates whose implementation changed most recently are listed first.
     return {
+        "stream_rollup": q_stream_rollup,
         "realtime_rollup": q_realtime_rollup,
         "range_stitch": q_range_stitch,
         "latency_histogram": q_latency_histogram,
@@ -1004,11 +1045,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_global_1h": q_merge_global_1h,
         "type_histogram": q_type_histogram,
         "latency_percentiles": q_latency_percentiles,
-        "gapfill_hourly": q_gapfill_hourly,
+        "gapfill": q_gapfill,
         "select_project": q_select_project,
         "topk_per_user": q_topk_per_user,
         "top_percent": q_top_percent,
-        "gapfill_interp": q_gapfill_interp,
         "semijoin": q_semijoin,
         "difference": q_difference,
         "asof_join": q_asof_join,
@@ -1272,11 +1312,19 @@ def _ivf_trained_sql() -> str:
     (wrong box, missing dir), return a query whose schema cannot match —
     the single gate fails loudly instead of the whole oracle_sql() dict
     raising and voiding all 50 comparisons."""
+    sf_dir = _os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     try:
-        return _ivf_sql(cen=_oracle_trained_centroids())
+        # leading comment pins WHICH dir the oracle trained on, so a
+        # consumer comparing at a different sf sees the mismatch cause
+        # in the gate's recorded SQL instead of a bare hash diff
+        return f"-- ivf_trained oracle centroids from {sf_dir}\n" + _ivf_sql(
+            cen=_oracle_trained_centroids()
+        )
     except Exception as ex:  # noqa: BLE001 — any build failure isolates here
         reason = str(ex)[:120].replace("'", "")
-        return f"SELECT 'ivf_trained oracle unavailable: {reason}' AS oracle_error"
+        return (
+            f"SELECT 'ivf_trained oracle unavailable ({sf_dir}): {reason}' AS oracle_error"
+        )
 
 
 def _simhash_sql(max_hamming: int = 3, n_bits: int = 60) -> str:
@@ -1396,7 +1444,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(gap_us) AS BIGINT) AS latency_sum_us
             FROM r GROUP BY user_id
         """,
-        "gapfill_hourly": """
+        # the streaming side is exact vs batch (all data in batch 0, no
+        # late drops; tail recomputed past the emitted boundary), so the
+        # oracle is the plain tumbling SQL
+        "stream_rollup": """
+            SELECT user_id,
+                   time_bucket(INTERVAL '1 minute', ts) AS window_start,
+                   time_bucket(INTERVAL '1 minute', ts) + INTERVAL '1 minute' AS window_end,
+                   count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+            FROM events GROUP BY user_id, 2
+        """,
+        "gapfill": """
             WITH b AS (
                 SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS h, count(*) AS n
                 FROM events GROUP BY 1, 2
@@ -1409,12 +1468,13 @@ def oracle_sql() -> dict[str, str]:
                 SELECT g.user_id, g.window_start, b.n
                 FROM grid g LEFT JOIN b ON b.user_id = g.user_id AND b.h = g.window_start
             )
-            SELECT user_id, window_start,
+            SELECT 'zero' AS variant, user_id, window_start,
                    CAST(coalesce(n, 0) AS BIGINT) AS n,
                    (n IS NULL) AS is_gap,
                    CAST(last_value(n IGNORE NULLS) OVER (
                         PARTITION BY user_id ORDER BY window_start
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_locf
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_locf,
+                   CAST(NULL AS DOUBLE) AS latency_interp
             FROM j
         """,
         "select_project": """
@@ -1439,7 +1499,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             ) WHERE order_pct <= 0.05
         """,
-        "gapfill_interp": """
+        "_gapfill_interp_half": """
             WITH b AS (
                 SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS h,
                        count(*) AS n, max(value) AS val_max
@@ -1477,7 +1537,7 @@ def oracle_sql() -> dict[str, str]:
                        wnext AS (PARTITION BY user_id ORDER BY window_start
                                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
             )
-            SELECT user_id, window_start, n, is_gap, n_locf,
+            SELECT 'interp' AS variant, user_id, window_start, n, is_gap, n_locf,
                    CASE WHEN val_max IS NOT NULL THEN val_max
                         WHEN pv IS NOT NULL AND nv IS NOT NULL
                         THEN pv + (nv - pv) *
@@ -2045,6 +2105,11 @@ def oracle_sql() -> dict[str, str]:
         """,
     }
     # identical md5 bucket arithmetic as operators.sampling.split_bucket
+    # tag-union: the interp variant is the second half of the gapfill gate
+    sql["gapfill"] = (
+        "SELECT * FROM (" + sql["gapfill"] + ") UNION ALL SELECT * FROM ("
+        + sql.pop("_gapfill_interp_half") + ")"
+    )
     sql["dataset_split"] = """
         WITH b AS (
             SELECT doc_id,

@@ -28,7 +28,7 @@ BENCH_QUERIES = [
     "rollup_1h_cascade",
     "merge_global_1h",
     "latency_percentiles",
-    "gapfill_hourly",
+    "gapfill",
     "topk_per_user",
     "difference",
     "asof_join",

@@ -66,19 +66,48 @@ def _with_pid(df: DataFrame, order_col: str, bucket_s: float = SWEEP_BUCKET_S) -
     )
 
 
+def _prefix_scan_offsets(ptotals: DataFrame, total_type: str) -> DataFrame:
+    """Exclusive prefix sum of per-bucket totals WITHOUT a global-order
+    WindowExec: collect the (tiny, bucket-grain — see ``_with_pid``)
+    totals frame into ONE sorted array and run ``aggregate()`` over it
+    (JVM higher-order function, one row), then explode back to
+    ``(_pid, _offset)``. Replaces ``Window.orderBy("_pid")`` — an
+    unpartitioned window is banned engine-wide (tools/plan_audit.py
+    fails on any), even on frames known to be small, so the blind spot
+    can't silently spread to a big frame."""
+    return (
+        ptotals.agg(F.sort_array(F.collect_list(F.struct("_pid", "_ptotal"))).alias("a"))
+        .select(
+            F.explode(
+                F.expr(
+                    f"""aggregate(
+                        a,
+                        struct(
+                          cast(0 as {total_type}) as s,
+                          cast(array() as array<struct<_pid:bigint,_offset:{total_type}>>) as out
+                        ),
+                        (acc, x) -> struct(
+                          acc.s + x._ptotal as s,
+                          concat(acc.out,
+                                 array(struct(x._pid as _pid, acc.s as _offset))) as out),
+                        acc -> acc.out)"""
+                )
+            ).alias("e")
+        )
+        .select("e._pid", "e._offset")
+    )
+
+
 def _keyless_cumsum(df_pid: DataFrame, order_col: str, col: str, out: str) -> DataFrame:
     """Global running sum of ``col`` in ``order_col`` order, distributed:
-    partition-local cumsum + per-partition offsets (cumsum of the tiny
-    per-partition totals, broadcast back)."""
+    partition-local cumsum + per-partition offsets (exclusive prefix
+    scan of the tiny per-bucket totals, broadcast back)."""
     w_local = (
         Window.partitionBy("_pid").orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
     )
     local = df_pid.withColumn("_local_cum", F.sum(col).over(w_local))
     ptotals = df_pid.groupBy("_pid").agg(F.sum(col).alias("_ptotal"))
-    w_p = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = ptotals.select(
-        "_pid", F.coalesce(F.sum("_ptotal").over(w_p), F.lit(0)).alias("_offset")
-    )
+    offsets = _prefix_scan_offsets(ptotals, ptotals.schema["_ptotal"].dataType.simpleString())
     return (
         local.join(F.broadcast(offsets), "_pid")
         .withColumn(out, F.col("_local_cum") + F.col("_offset"))
@@ -107,11 +136,27 @@ def _keyless_neighbors(
         F.min_by(c, order_col).alias(f"_first_{c}") for c in set(lead_cols)
     ]
     edges = df_pid.groupBy("_pid").agg(*edge_aggs)
-    w_p = Window.orderBy("_pid")
-    patch = edges.select(
-        "_pid",
-        *[F.lag(f"_last_{c}").over(w_p).alias(f"_patch_prev_{c}") for c in lag_cols],
-        *[F.lead(f"_first_{c}").over(w_p).alias(f"_patch_next_{c}") for c in lead_cols],
+    # neighbor lookup over the tiny bucket-grain edges frame as a
+    # single-row sorted-array index walk (transform with index), not an
+    # unpartitioned window — see _prefix_scan_offsets for why the
+    # engine bans Window.orderBy without a partition spec outright
+    fields = [f"_last_{c}" for c in set(lag_cols)] + [f"_first_{c}" for c in set(lead_cols)]
+    shifted = (
+        [f"if(i > 0, a[i-1]._last_{c}, null) as _patch_prev_{c}" for c in lag_cols]
+        + [f"if(i < size(a)-1, a[i+1]._first_{c}, null) as _patch_next_{c}" for c in lead_cols]
+    )
+    patch = (
+        edges.agg(F.sort_array(F.collect_list(F.struct("_pid", *fields))).alias("a"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(a, (x, i) -> struct(x._pid as _pid, "
+                    + ", ".join(shifted)
+                    + "))"
+                )
+            ).alias("e")
+        )
+        .select("e.*")
     )
     out = out.join(F.broadcast(patch), "_pid")
     for c in lag_cols:

@@ -64,13 +64,21 @@ def topk_per_key(
     row, so they fill Top(k) slots only when a group has FEWER than k
     ranked rows — still with a NULL position. Their mutual order in the
     reference is partition encounter order (arbitrary); here it is the
-    remaining ``order_by`` columns, so include a unique tiebreak column
-    for determinism."""
+    remaining ``order_by`` columns PLUS a row-content hash tiebreak, so
+    which null rows fill the slots is deterministic across runs and
+    parallelism levels even when the lead order column is all-null for
+    them (rows tying on the hash are identical in every hashable
+    column, hence interchangeable)."""
     ranked = rank_per_key(df, keys, order_by, rank_col, null_col=null_col)
     if null_col is None:
         return ranked.filter(F.col(rank_col) <= k)
+    hashable = [
+        F.col(c) for c, t in df.dtypes if not t.startswith("map")
+    ]  # xxhash64 rejects map types
     w_keys = Window.partitionBy(*keys)
-    w_null = Window.partitionBy(*keys, F.col(null_col).isNull()).orderBy(*order_by)
+    w_null = Window.partitionBy(*keys, F.col(null_col).isNull()).orderBy(
+        *order_by, F.xxhash64(*hashable)
+    )
     n_ranked = F.count(F.col(null_col)).over(w_keys)  # count() skips nulls
     fill_pos = n_ranked + F.row_number().over(w_null)
     keep = F.when(F.col(rank_col).isNotNull(), F.col(rank_col) <= k).otherwise(

@@ -417,14 +417,18 @@ def indexed_ivf_topk(
     PartitionFilters, deterministic, no reliance on runtime DPP), then
     exact cosine re-rank. The probed-cell collect is O(|Q| × n_probe)
     scalars — the same driver-side bookkeeping class as the engine's
-    other bound collects. The probed frame is persisted around that
-    collect so the probing shuffle runs ONCE, not once for the collect
-    and again inside the re-rank (note this makes the call eager: the
-    probe executes now, the re-rank when the result is acted on). Same
-    argmax/tie semantics as ``ivf_topk``: equality-tested against the
-    direct path."""
+    other bound collects. The probed frame is eagerly
+    ``localCheckpoint``-ed around that collect so the probing shuffle
+    runs ONCE, not once for the collect and again inside the re-rank
+    (the call is therefore eager: the probe executes now, the re-rank
+    when the result is acted on). localCheckpoint, not persist: cached
+    frames live in the CacheManager for the app's lifetime unless
+    explicitly unpersisted (a leak across repeated query batches),
+    while checkpoint blocks are released by the ContextCleaner as soon
+    as the result frame is dropped. Same argmax/tie semantics as
+    ``ivf_topk``: equality-tested against the direct path."""
     cent = _cent_frame(centroids, cell_col, cent_col)
-    probed = _probe_cells(queries, cent, n_probe, id_col, vec_col).persist()
+    probed = _probe_cells(queries, cent, n_probe, id_col, vec_col).localCheckpoint(eager=True)
     cells = sorted({int(r["cell"]) for r in probed.select("cell").distinct().collect()})
     idx = spark.read.parquet(index_path).filter(F.col("cell").isin(cells))
     return _rerank(probed, idx, k, vec_col, id_col)

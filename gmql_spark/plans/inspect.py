@@ -10,11 +10,27 @@ and reportable in benchmarks.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 
 
 def physical_plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
+
+
+def unpartitioned_windows(plan: str) -> list[str]:
+    """Window specs with NO partition columns — a single-task global
+    sort at scale, banned engine-wide. In the plan string a spec prints
+    as ``windowspecdefinition(part..., order ASC/DESC ..., frame)``; if
+    the FIRST element already carries a sort direction, the partition
+    list is empty."""
+    hits = []
+    for m in re.finditer(r"windowspecdefinition\(([^()]*?)(?:, specifiedwindowframe\(|\))", plan):
+        first = m.group(1).split(", ")[0]
+        if " ASC" in first or " DESC" in first:
+            hits.append(m.group(0)[:160])
+    return hits
 
 
 def plan_report(df: DataFrame) -> dict:

@@ -1,4 +1,8 @@
 from gmql_spark.streaming.ingest_stream import stream_ingest  # noqa: F401
+from gmql_spark.streaming.materialize import (  # noqa: F401
+    run_rollup_to_table,
+    stream_window_rollup,
+)
 from gmql_spark.streaming.rollup_stream import (  # noqa: F401
     stream_hist_rollup,
     stream_hll_rollup,

@@ -690,3 +690,46 @@ def test_topk_null_fill_matches_bruteforce(spark):
             for r in (ranked + missing)[:k]:
                 exp.add((g, r[1]))
         assert got == exp, f"seed {seed}: {got ^ exp}"
+
+
+def test_cover_jaccard_keyed_matches_per_key_runs(spark, intervals):
+    """Keyed path (keys != ()): reachable via the JACCARD DSL op but
+    previously untested — both sides of the island×interval overlap
+    join descend from the same input df, exactly the shape that can
+    trip Spark's ambiguous-self-join resolution. Pin it: a two-key
+    frame must give, per key, bit-identical results to a keyless run
+    over that key's subset, with no cross-key contamination."""
+    from gmql_spark.operators.cover import cover_jaccard
+
+    a = intervals.withColumn("grp", F.lit("a"))
+    # key b: shifted copy + an extra interval so the two keys differ
+    b = (
+        intervals.select(
+            (F.col("start_ts") + F.expr("INTERVAL 7 MINUTES")).alias("start_ts"),
+            (F.col("end_ts") + F.expr("INTERVAL 7 MINUTES")).alias("end_ts"),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(ts(100), ts(130))], "start_ts timestamp, end_ts timestamp"
+            )
+        )
+        .withColumn("grp", F.lit("b"))
+    )
+    both = a.unionByName(b)
+
+    got = cover_jaccard(both, min_acc=1, keys=("grp",)).collect()
+    by_key = {}
+    for r in got:
+        by_key.setdefault(r.grp, []).append(
+            (r.cover_start, r.cover_end, r.acc_max, r.n_contrib,
+             r.jaccard_result, r.jaccard_intersect)
+        )
+
+    for key, src in (("a", a), ("b", b)):
+        exp = [
+            (r.cover_start, r.cover_end, r.acc_max, r.n_contrib,
+             r.jaccard_result, r.jaccard_intersect)
+            for r in cover_jaccard(src.drop("grp"), min_acc=1).collect()
+        ]
+        assert sorted(by_key[key]) == sorted(exp), f"key {key} diverges"
+    assert set(by_key) == {"a", "b"}

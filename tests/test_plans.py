@@ -118,3 +118,34 @@ def test_semijoin_broadcasts(spark, raw):
     out = raw.join(dim_df.filter(F.col("lang") == "en").select("conv_id"), "conv_id", "left_semi")
     rep = plan_report(out)
     assert rep["broadcasts"] >= 1, physical_plan(out)[:1500]
+
+
+def test_no_unpartitioned_windows_engine_wide(spark, raw):
+    """HARD rule (also enforced per-gate by tools/plan_audit.py): no
+    window spec anywhere may have an empty partition list — that is a
+    single-task global sort at scale. The keyless-sweep helpers must
+    plan their boundary patches as single-row array scans instead."""
+    from pyspark.sql.window import Window
+
+    from gmql_spark.operators.cover import (
+        _keyless_cumsum,
+        _keyless_neighbors,
+        _with_pid,
+        accumulation,
+    )
+    from gmql_spark.plans.inspect import unpartitioned_windows
+
+    # the detector itself: positive control
+    bad = raw.withColumn("r", F.row_number().over(Window.orderBy("ts")))
+    assert unpartitioned_windows(physical_plan(bad)), "detector missed a global window"
+
+    ev = raw.select("conv_id", "ts").withColumn("_d", F.lit(1))
+    p = _with_pid(ev, "ts")
+    for df in (
+        _keyless_cumsum(p, "ts", "_d", "cum"),
+        _keyless_neighbors(p, "ts", lag_cols=("_d",), lead_cols=("_d",)),
+        accumulation(raw.select(F.col("ts").alias("start_ts"),
+                                (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("end_ts"))),
+    ):
+        hits = unpartitioned_windows(physical_plan(df))
+        assert not hits, f"unpartitioned window leaked into plan: {hits}"

@@ -56,7 +56,7 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
     import __spark_entry__ as entrymod
-    from gmql_spark.plans.inspect import physical_plan, plan_report
+    from gmql_spark.plans.inspect import physical_plan, plan_report, unpartitioned_windows
     from gmql_spark.session import get_spark
 
     spark = get_spark(8, app_name="plan-audit", shuffle_partitions=16)
@@ -76,6 +76,10 @@ def main() -> int:
             and "map_from_entries" not in line
             and "_cat" not in line
             and "_n" not in line
+            # bucket-grain patch assembly (cover._prefix_scan_offsets /
+            # _keyless_neighbors): one collect_list over the tiny _pid
+            # totals frame replaces an unpartitioned window
+            and "_pid" not in line
         ]
         rep["unsanctioned_object_agg"] = [] if name in SANCTIONED_OBJECT_AGG else bad_obj
         if name in SANCTIONED_OBJECT_AGG and bad_obj:
@@ -83,12 +87,16 @@ def main() -> int:
         rep["over_exchange_budget"] = (
             name in EXCHANGE_BUDGET and rep["exchanges"] > EXCHANGE_BUDGET[name]
         )
+        # HARD rule, no sanction list: a window with no partition spec
+        # is a single-task global sort at scale
+        rep["unpartitioned_windows"] = unpartitioned_windows(plan)
         audit[name] = rep
         flag = " !!" if (
             rep["cartesian"]
             or (rep["bnlj"] and name not in SANCTIONED_BNLJ)
             or rep["unsanctioned_object_agg"]
             or rep["over_exchange_budget"]
+            or rep["unpartitioned_windows"]
         ) else ""
         print(f"{name}: {rep}{flag}", file=sys.stderr)
 
@@ -99,6 +107,7 @@ def main() -> int:
         or (r["bnlj"] and n not in SANCTIONED_BNLJ)
         or r["unsanctioned_object_agg"]
         or r["over_exchange_budget"]
+        or r["unpartitioned_windows"]
     }
     out = {
         "sf_dir": sf_dir,

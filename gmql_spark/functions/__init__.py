@@ -8,3 +8,11 @@ from gmql_spark.functions.sketches import (  # noqa: F401
     hll_rollup,
     log2_bucket,
 )
+from gmql_spark.functions.tdigest import (  # noqa: F401
+    build_digest,
+    digest_quantile,
+    merge_digests,
+    tdigest_cascade,
+    tdigest_quantile,
+    tdigest_rollup,
+)

@@ -34,6 +34,48 @@ def _lit_arr(w):
     return F.array(*[F.lit(float(x)) for x in w])
 
 
+def _planes_frame(spark, planes):
+    """LSH hyperplanes as a tiny broadcast TABLE — one row per hash
+    table, its plane matrix as data — instead of n_tables × n_planes ×
+    dim plan literals, so plan/codegen size is independent of the LSH
+    configuration (same hygiene as ``_cent_frame`` for centroids).
+    Carries the non-foldable constant join key (a literal 0 would
+    constant-fold into a BNLJ cross join)."""
+    rows = [
+        (t, [[float(x) for x in pl] for pl in planes[t]])
+        for t in range(planes.shape[0])
+    ]
+    return spark.createDataFrame(
+        rows, "table int, _planes array<array<double>>"
+    ).withColumn("_one", F.pmod(F.xxhash64("table"), F.lit(1)))
+
+
+def _with_lsh_buckets(frame: DataFrame, vc: str, one_col: str, planes_df) -> DataFrame:
+    """Append ``(table, bucket)`` per row: broadcast-join the n_tables
+    plane rows and fold the sign sketch with higher-order functions.
+    The per-plane dot is the same ``_dot`` zip_with+aggregate (identical
+    summation order), and bits are summed in ascending plane order —
+    signatures are bit-identical to the former literal-inline form.
+    (SQL text, not the python HOF API: ``F.shiftleft`` only takes a
+    literal int shift, while the SQL function accepts the lambda's
+    plane-index column.)"""
+    bucket = F.expr(
+        f"""aggregate(
+              transform(_planes, (pl, p) -> shiftleft(cast(
+                aggregate(zip_with({vc}, pl,
+                          (x, y) -> cast(x as double) * cast(y as double)),
+                          cast(0.0 as double), (acc, x) -> acc + x) > 0
+                as long), p)),
+              cast(0 as long), (acc, x) -> acc + x)"""
+    )
+    return (
+        frame.withColumn("_one", F.pmod(F.xxhash64(F.col(one_col)), F.lit(1)))
+        .join(F.broadcast(planes_df), on="_one")
+        .withColumn("bucket", bucket)
+        .drop("_one", "_planes")
+    )
+
+
 def with_norm(df: DataFrame, vec_col: str = "embedding", out: str = "_norm") -> DataFrame:
     return df.withColumn(out, F.sqrt(_dot(F.col(vec_col), F.col(vec_col))))
 
@@ -110,22 +152,9 @@ def cosine_near_pairs(
             dim = _infer_dim(df, vec_col)
         rng = np.random.Generator(np.random.PCG64(seed))
         planes = rng.standard_normal((n_tables, n_planes, dim))
-
-        def buckets(frame, vc, nc, idc):
-            sigs = []
-            for t in range(n_tables):
-                bits = None
-                for p in range(n_planes):
-                    bit = (_dot(F.col(vc), _lit_arr(planes[t, p])) > 0).cast("long")
-                    term = F.shiftleft(bit, p)
-                    bits = term if bits is None else bits + term
-                sigs.append(bits)
-            return frame.select(
-                idc, vc, nc, F.posexplode(F.array(*sigs)).alias("table", "bucket")
-            )
-
-        ab = buckets(a, "_av", "_an", "id_a")
-        bb = buckets(b, "_bv", "_bn", "id_b")
+        pf = _planes_frame(df.sparkSession, planes)
+        ab = _with_lsh_buckets(a, "_av", "id_a", pf)
+        bb = _with_lsh_buckets(b, "_bv", "id_b", pf)
         pairs = (
             ab.join(bb, on=["table", "bucket"])
             .filter(F.col("id_a") < F.col("id_b"))
@@ -481,26 +510,12 @@ def lsh_bucket_topk(
         dim = _infer_dim(corpus, vec_col)
     rng = np.random.Generator(np.random.PCG64(seed))
     planes = rng.standard_normal((n_tables, n_planes, dim))
-
-    def sig_col(df, vc):
-        sigs = []
-        for t in range(n_tables):
-            bits = None
-            for p in range(n_planes):
-                bit = (_dot(F.col(vc), _lit_arr(planes[t, p])) > 0).cast("long")
-                term = F.shiftleft(bit, p)
-                bits = term if bits is None else bits + term
-            sigs.append(bits)
-        return F.array(*sigs)
+    pf = _planes_frame(queries.sparkSession, planes)
 
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
-    qb = q.select(
-        "query_id", "_qv", F.posexplode(sig_col(q, "_qv")).alias("table", "bucket")
-    )
-    cb = c.select(
-        "neighbor_id", "_cv", F.posexplode(sig_col(c, "_cv")).alias("table", "bucket")
-    )
+    qb = _with_lsh_buckets(q, "_qv", "query_id", pf)
+    cb = _with_lsh_buckets(c, "_cv", "neighbor_id", pf)
     cands = (
         qb.join(cb, on=["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))

@@ -722,14 +722,18 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image decode (multimodal.decode_bmp/decode_ppm — pure
-    stdlib+numpy, no media libs): per document, a deterministic test
-    image is synthesized from sha256(text) (multimodal.synth_image),
-    encoded to BMP (even ids) or binary PPM (odd ids), then decoded
-    back and reduced to exact integer/digest stats (decode_stats).
-    The oracle fixture (tools/make_image_fixture.py) computes the same
-    stats from the PIXELS alone — so any codec round-trip defect (row
-    order, 4-byte padding, BGR/RGB) breaks the md5 match."""
+    """REAL image decode (multimodal.decode_bmp/decode_ppm/
+    jpeg.decode_jpeg — pure stdlib+numpy, no media libs): per document,
+    a deterministic test image is synthesized from sha256(text)
+    (multimodal.synth_image), encoded to BMP / binary PPM / baseline
+    JPEG by ``doc_id % 3``, then decoded back and reduced to exact
+    integer/digest stats (decode_stats). The JPEG images are
+    block-constant mosaics, which the codec's DC-step-8 quantizer
+    round-trips pixel-EXACTLY despite the lossy pipeline (jpeg.py
+    module doc). The oracle fixture (tools/make_image_fixture.py)
+    computes the same stats from the PIXELS alone — so any codec
+    round-trip defect (row order, 4-byte padding, BGR/RGB, Huffman /
+    IDCT / restart-marker bugs) breaks the md5 match."""
     import pandas as _pd
 
     from gmql_spark.operators.multimodal import decode_stats, synth_image
@@ -740,7 +744,7 @@ def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, text in zip(pdf["doc_id"], pdf["text"]):
-                fmt = "bmp" if mid % 2 == 0 else "ppm"
+                fmt = ("bmp", "ppm", "jpeg")[mid % 3]
                 _, payload = synth_image(text.encode("utf-8"), fmt)
                 rows.append((mid, payload))
             yield _pd.DataFrame(rows, columns=["media_id", "payload"])
@@ -1872,13 +1876,20 @@ def oracle_sql() -> dict[str, str]:
               ON md5(d.text) = f.text_md5
             WHERE length(d.text) > 0
         """,
-        # pixel-level oracle for the REAL BMP/PPM codecs: expected
+        # pixel-level oracle for the REAL BMP/PPM/JPEG codecs: expected
         # stats computed from the synthesized PIXELS outside Spark
         # (tools/make_image_fixture.py) — the engine path goes
-        # pixels -> encode -> decode, so the join checks the round trip
+        # pixels -> encode -> decode, so the join checks the round trip.
+        # doc_id % 3 picks the format (bmp/ppm RGB share pixels; jpeg is
+        # the gray block-constant mosaic — exact through the lossy
+        # codec by the DC-step-8 construction, jpeg.py module doc)
         "image_decode": f"""
-            SELECT d.doc_id AS media_id, f.width, f.height, f.channels,
-                   f.px_sum, f.px_md5
+            SELECT d.doc_id AS media_id,
+                   CASE WHEN d.doc_id % 3 = 2 THEN f.jwidth ELSE f.width END AS width,
+                   CASE WHEN d.doc_id % 3 = 2 THEN f.jheight ELSE f.height END AS height,
+                   CASE WHEN d.doc_id % 3 = 2 THEN f.jchannels ELSE f.channels END AS channels,
+                   CASE WHEN d.doc_id % 3 = 2 THEN f.jpx_sum ELSE f.px_sum END AS px_sum,
+                   CASE WHEN d.doc_id % 3 = 2 THEN f.jpx_md5 ELSE f.px_md5 END AS px_md5
             FROM documents d
             JOIN parquet_scan('{_REPO_DIR}/tests/fixtures/image_decode.parquet') f
               ON md5(d.text) = f.text_md5

@@ -136,12 +136,19 @@ def encode_bmp(arr: np.ndarray) -> bytes:
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Real image decode for the formats parseable without media libs
-    (BMP, binary PPM/PGM), dispatched on the magic bytes."""
+    (BMP, binary PPM/PGM, baseline JPEG), dispatched on the magic
+    bytes."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:1] == b"P" and payload[1:2] in (b"5", b"6"):
         return decode_ppm(payload)
-    raise NotImplementedError("only BMP and binary PPM/PGM decode without media libs")
+    if payload[:2] == b"\xff\xd8":
+        from gmql_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
+    raise NotImplementedError(
+        "only BMP, binary PPM/PGM and baseline JPEG decode without media libs"
+    )
 
 
 def decode_any(payload: bytes) -> np.ndarray:
@@ -226,12 +233,27 @@ def decode_stats(
 
 def synth_image(seed_bytes: bytes, fmt: str) -> tuple[np.ndarray, bytes]:
     """Deterministic test image from a seed: pixels from
-    PCG64(sha256(seed)), dims 3..15 x 2..12, encoded as ``bmp`` or
-    ``ppm``. Returns (pixels, encoded payload) so an oracle can compute
-    expected stats from the PIXELS while the engine path goes
-    pixels -> encode -> decode — exercising the full codec round trip."""
+    PCG64(sha256(seed)), encoded as ``bmp``, ``ppm`` or ``jpeg``.
+    Returns (pixels, encoded payload) so an oracle can compute expected
+    stats from the PIXELS while the engine path goes
+    pixels -> encode -> decode — exercising the full codec round trip.
+
+    ``bmp``/``ppm`` (lossless codecs): random RGB, dims 3..15 x 2..12.
+    ``jpeg``: random GRAY 8×8-tile-constant mosaic, dims up to 40×32 —
+    with the codec's DC quantization step of 8, block-constant images
+    round-trip pixel-EXACTLY through the lossy pipeline (see
+    ``jpeg.py`` module doc), so the same pixels-only oracle applies."""
     h8 = hashlib.sha256(seed_bytes).digest()
     rng = np.random.Generator(np.random.PCG64(int.from_bytes(h8[:8], "little")))
+    if fmt == "jpeg":
+        from gmql_spark.operators.jpeg import encode_jpeg
+
+        w, h = 9 + h8[8] % 32, 8 + h8[9] % 25
+        tiles = rng.integers(
+            0, 256, size=(-(-h // 8), -(-w // 8)), dtype=np.uint8
+        )
+        px = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)[:h, :w]
+        return px, encode_jpeg(px, restart_interval=2 if h8[10] % 2 else 0)
     w, h = 3 + h8[8] % 13, 2 + h8[9] % 11
     px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
     return px, (encode_bmp(px) if fmt == "bmp" else encode_ppm(px))

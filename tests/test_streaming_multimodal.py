@@ -256,10 +256,10 @@ def test_decode_stats_matches_pixels(spark):
     seeds = [f"doc {i}".encode() for i in range(12)]
     expected, rows = {}, []
     for i, s in enumerate(seeds):
-        fmt = "bmp" if i % 2 == 0 else "ppm"
+        fmt = ("bmp", "ppm", "jpeg")[i % 3]  # mirrors the image_decode gate
         px, payload = synth_image(s, fmt)
         expected[i] = (
-            px.shape[1], px.shape[0], 3,
+            px.shape[1], px.shape[0], px.shape[2] if px.ndim == 3 else 1,
             int(px.astype(np.int64).sum()),
             hashlib.md5(np.ascontiguousarray(px).tobytes()).hexdigest(),
         )

@@ -28,9 +28,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from gmql_spark.operators.multimodal import synth_image  # noqa: E402
 
 
-def expected_row(text: str) -> tuple[int, int, int, int, str]:
-    px, _ = synth_image(text.encode("utf-8"), "ppm")  # fmt ignored: px only
-    h, w, ch = px.shape
+def _stats(px) -> tuple[int, int, int, int, str]:
+    h, w = px.shape[:2]
+    ch = px.shape[2] if px.ndim == 3 else 1
     return (
         int(w),
         int(h),
@@ -38,6 +38,23 @@ def expected_row(text: str) -> tuple[int, int, int, int, str]:
         int(px.astype(np.int64).sum()),
         hashlib.md5(np.ascontiguousarray(px).tobytes()).hexdigest(),
     )
+
+
+def expected_row(text: str) -> tuple:
+    """RGB pixels (bmp/ppm docs) + the jpeg gray-mosaic pixels — the
+    codec NEVER runs here: the jpeg synth is exact by construction
+    (block-constant, DC step 8 — see jpeg.py), so pixels-only stats
+    are the true decode expectation for all three formats."""
+    rgb, _ = synth_image(text.encode("utf-8"), "ppm")  # lossless fmts share px
+    seed = text.encode("utf-8")
+    import numpy as _np
+
+    h8 = hashlib.sha256(seed).digest()
+    rng = _np.random.Generator(_np.random.PCG64(int.from_bytes(h8[:8], "little")))
+    w, h = 9 + h8[8] % 32, 8 + h8[9] % 25
+    tiles = rng.integers(0, 256, size=(-(-h // 8), -(-w // 8)), dtype=_np.uint8)
+    jpx = _np.repeat(_np.repeat(tiles, 8, axis=0), 8, axis=1)[:h, :w]
+    return _stats(rgb) + _stats(jpx)
 
 
 def main() -> int:
@@ -79,6 +96,11 @@ def main() -> int:
             "channels": pa.array([seen[k][2] for k in keys], pa.int32()),
             "px_sum": pa.array([seen[k][3] for k in keys], pa.int64()),
             "px_md5": pa.array([seen[k][4] for k in keys], pa.string()),
+            "jwidth": pa.array([seen[k][5] for k in keys], pa.int32()),
+            "jheight": pa.array([seen[k][6] for k in keys], pa.int32()),
+            "jchannels": pa.array([seen[k][7] for k in keys], pa.int32()),
+            "jpx_sum": pa.array([seen[k][8] for k in keys], pa.int64()),
+            "jpx_md5": pa.array([seen[k][9] for k in keys], pa.string()),
         }
     )
     os.makedirs(os.path.dirname(out), exist_ok=True)

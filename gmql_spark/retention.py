@@ -135,3 +135,49 @@ def compact_partitions(
         except OSError:
             pass
     return frag
+
+
+def compact_fact_table(
+    spark,
+    fact_path: str,
+    min_files: int = 2,
+    date_col: str = "event_date",
+) -> dict[str, int]:
+    """Compact an append-heavy fact table laid out as
+    ``conv_bucket=N/event_date=D/*.parquet`` (catalog.write_transcripts):
+    every small ``append_transcripts`` batch adds at least one file to
+    each (bucket, date) leaf it touches, so under churn the leaf file
+    count grows linearly with the number of appends. This walks the
+    bucket dirs and applies :func:`compact_partitions`'s staged-swap
+    rewrite to each one's date partitions independently — the same
+    crash-safety contract per leaf, and bucket dirs are independent so
+    a production job can run them in parallel or a few buckets per
+    maintenance tick.
+
+    Tables written with ``partition_days=False`` (no date level) are
+    compacted as a single flat partition set at the top level.
+    Returns {"conv_bucket=N/event_date=D": files_before}.
+    """
+    out: dict[str, int] = {}
+    buckets = sorted(
+        e for e in os.listdir(fact_path) if e.startswith("conv_bucket=")
+    )
+    for b in buckets:
+        bpath = os.path.join(fact_path, b)
+        if any(e.startswith(f"{date_col}=") for e in os.listdir(bpath)):
+            done = compact_partitions(
+                spark, bpath, partition_col=date_col, min_files=min_files
+            )
+            out.update({f"{b}/{date_col}={v}": n for v, n in done.items()})
+        else:
+            # dateless layout: the bucket dir itself is the leaf; reuse
+            # the staged-swap machinery one level up with the bucket as
+            # the "partition"
+            nfiles = sum(1 for f in os.listdir(bpath) if f.endswith(".parquet"))
+            if nfiles > min_files:
+                done = compact_partitions(
+                    spark, fact_path, partition_col="conv_bucket",
+                    min_files=min_files, partitions=[b.split("=", 1)[1]],
+                )
+                out.update({f"conv_bucket={v}": n for v, n in done.items()})
+    return out

@@ -295,3 +295,225 @@ def test_compact_preserves_prior_crash_recovery_copies(spark, tmp_path):
         1 for f in os.listdir(f"{table}/{d2}") if f.endswith(".parquet")
     )
     assert n_files == 1  # D2 actually compacted
+
+
+# ------------------------- fact-table compaction under churn (round 6)
+
+
+def _leaf_file_counts(fact: str) -> dict[str, int]:
+    import os
+
+    out = {}
+    for b in os.listdir(fact):
+        if not b.startswith("conv_bucket="):
+            continue
+        bpath = os.path.join(fact, b)
+        dated = [d for d in os.listdir(bpath) if d.startswith("event_date=")]
+        if dated:
+            for d in dated:
+                out[f"{b}/{d}"] = sum(
+                    1
+                    for f in os.listdir(os.path.join(bpath, d))
+                    if f.endswith(".parquet")
+                )
+        else:
+            out[b] = sum(
+                1 for f in os.listdir(bpath) if f.endswith(".parquet")
+            )
+    return out
+
+
+def test_compact_fact_table_churn(spark, tmp_path):
+    """Append-heavy churn: many small append_transcripts batches accrete
+    at least one file per touched (bucket, date) leaf each, so leaf file
+    counts grow linearly with the number of appends; compact_fact_table
+    bounds every fragmented leaf back to ONE file while keeping the
+    table rows, the conv state, the refreshed tiers, and the ability to
+    append afterwards all bit-identical."""
+    import os
+
+    from gmql_spark import datagen
+    from gmql_spark.incremental import (
+        append_transcripts,
+        read_conv_state,
+        refresh_tiers,
+    )
+    from gmql_spark.retention import compact_fact_table
+
+    from pyspark.sql.window import Window
+
+    raw = datagen.transcripts_spark(spark, n_conv=48)
+    n_batches = 12
+    fact = str(tmp_path / "fact")
+    # slice each conversation into n_batches consecutive turn ranges
+    # (datagen convs are compact sessions, so a conv's slices all land in
+    # the SAME (bucket, date) leaf — per-leaf churn — and every batch is
+    # strictly later per conv, honoring the ordered-append contract)
+    w = Window.partitionBy("conv_id")
+    us = F.unix_micros("ts")
+    lo, hi = F.min(us).over(w), F.max(us).over(w)
+    # slice on the ts RANGE (not turn_idx): datagen has equal-ts adjacent
+    # turns, and the append contract is strict — ties must co-locate
+    batched = raw.withColumn(
+        "_b",
+        F.least(
+            F.floor((us - lo) * n_batches / (hi - lo + 1)),
+            F.lit(n_batches - 1),
+        ).cast("int"),
+    )
+    all_dates: set = set()
+    for i in range(n_batches):
+        b = batched.filter(F.col("_b") == i).drop("_b")
+        if b.isEmpty():
+            continue
+        all_dates.update(append_transcripts(spark, b, fact, n_buckets=4))
+
+    before = _leaf_file_counts(fact)
+    # churn really fragmented: the busiest leaf carries many batch files
+    assert max(before.values()) >= n_batches // 2, before
+
+    key = ["conv_id", "turn_idx"]
+    rows_before = (
+        spark.read.parquet(fact).toPandas().sort_values(key).reset_index(drop=True)
+    )
+    state_before = (
+        read_conv_state(spark, fact)
+        .toPandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    out1 = str(tmp_path / "tiers_pre")
+    refresh_tiers(spark, fact, out1, dates=sorted(all_dates))
+
+    done = compact_fact_table(spark, fact, min_files=1)
+    assert done, "nothing compacted"
+    after = _leaf_file_counts(fact)
+    assert set(after) == set(before)
+    # every leaf that was fragmented is now exactly one file; none grew
+    assert all(n == 1 for leaf, n in after.items() if before[leaf] > 1), after
+    assert all(n <= before[leaf] for leaf, n in after.items())
+
+    rows_after = (
+        spark.read.parquet(fact).toPandas().sort_values(key).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        rows_before[sorted(rows_before.columns)], rows_after[sorted(rows_after.columns)]
+    )
+    # conv state untouched by compaction
+    state_after = (
+        read_conv_state(spark, fact)
+        .toPandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(state_before, state_after)
+
+    # tiers recomputed from the compacted table == pre-compaction tiers
+    out2 = str(tmp_path / "tiers_post")
+    refresh_tiers(spark, fact, out2, dates=sorted(all_dates))
+    for tier in ("1m", "1h", "1d"):
+        a = (
+            spark.read.parquet(f"{out1}/rollup_{tier}")
+            .toPandas()
+            .sort_values(["conv_id", "window_start"])
+            .reset_index(drop=True)
+        )
+        b = (
+            spark.read.parquet(f"{out2}/rollup_{tier}")
+            .toPandas()
+            .sort_values(["conv_id", "window_start"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+
+    # the append protocol still works on a compacted table (state +
+    # ordered-append contract intact): shift a copy of one conversation
+    # forward in time as a fresh later batch
+    one = raw.filter(
+        F.col("conv_id") == raw.select("conv_id").first()[0]
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 400 DAYS"))
+    new_dates = append_transcripts(spark, one, fact, n_buckets=4)
+    assert new_dates
+    total = spark.read.parquet(fact).count()
+    assert total == len(rows_before) + one.count()
+
+
+def test_compact_fact_table_crash_copies_preserved(spark, tmp_path):
+    """A leaf left mid-swap by a crashed compaction (present only under
+    _compact_trash/, with a stale _compact_tmp/ copy) is NOT destroyed
+    by a later compact_fact_table run over the other leaves, and rename
+    recovery restores it."""
+    import os
+    import shutil
+
+    from gmql_spark import datagen
+    from gmql_spark.incremental import append_transcripts
+    from gmql_spark.retention import compact_fact_table
+
+    raw = datagen.transcripts_spark(spark, n_conv=16)
+    fact = str(tmp_path / "fact")
+    batched = raw.withColumn(
+        "_b", F.pmod(F.xxhash64("conv_id"), F.lit(4)).cast("int")
+    )
+    for i in range(4):
+        append_transcripts(
+            spark, batched.filter(F.col("_b") == i).drop("_b"), fact, n_buckets=2
+        )
+    n_rows = spark.read.parquet(fact).count()
+
+    # simulate a crash between the two renames inside one bucket dir
+    bucket = sorted(
+        e for e in os.listdir(fact) if e.startswith("conv_bucket=")
+    )[0]
+    bpath = os.path.join(fact, bucket)
+    leaf = sorted(e for e in os.listdir(bpath) if e.startswith("event_date="))[0]
+    os.makedirs(f"{bpath}/_compact_trash", exist_ok=True)
+    os.rename(f"{bpath}/{leaf}", f"{bpath}/_compact_trash/{leaf}")
+    shutil.copytree(f"{bpath}/_compact_trash/{leaf}", f"{bpath}/_compact_tmp/{leaf}")
+    lost = spark.read.parquet(f"{bpath}/_compact_trash/{leaf}").count()
+    assert lost > 0
+
+    compact_fact_table(spark, fact, min_files=1)
+    # crash copies survived the sweep
+    assert os.path.isdir(f"{bpath}/_compact_trash/{leaf}")
+    assert os.path.isdir(f"{bpath}/_compact_tmp/{leaf}")
+    # recovery restores the full table
+    os.rename(f"{bpath}/_compact_trash/{leaf}", f"{bpath}/{leaf}")
+    assert spark.read.parquet(fact).count() == n_rows
+
+
+def test_compact_fact_table_dateless_layout(spark, tmp_path):
+    """Tables written with partition_days=False (bucket dirs are the
+    leaves) compact at the bucket level with the same staged-swap
+    contract."""
+    import os
+
+    from gmql_spark import datagen
+    from gmql_spark.sources.catalog import write_transcripts
+    from gmql_spark.retention import compact_fact_table
+
+    raw = datagen.transcripts_spark(spark, n_conv=24)
+    fact = str(tmp_path / "fact")
+    write_transcripts(raw, fact, n_buckets=2, partition_days=False)
+    for _ in range(3):  # churn: three more append waves
+        write_transcripts(
+            raw.limit(50), fact, n_buckets=2, partition_days=False, mode="append"
+        )
+    before = _leaf_file_counts(fact)
+    assert all(k.startswith("conv_bucket=") and "/" not in k for k in before)
+    assert max(before.values()) >= 4
+    key = ["conv_id", "turn_idx", "ts"]
+    rows_before = (
+        spark.read.parquet(fact).toPandas().sort_values(key).reset_index(drop=True)
+    )
+    done = compact_fact_table(spark, fact, min_files=1)
+    assert done
+    after = _leaf_file_counts(fact)
+    assert all(n == 1 for leaf, n in after.items() if before[leaf] > 1), after
+    rows_after = (
+        spark.read.parquet(fact).toPandas().sort_values(key).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        rows_before[sorted(rows_before.columns)],
+        rows_after[sorted(rows_after.columns)],
+    )

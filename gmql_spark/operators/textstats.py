@@ -88,6 +88,23 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).withColumn("lang_score", best["score"].cast("long"))
 
 
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document token-counting profile: whitespace token count,
+    exact char length, and the sub-word-ish piece count — the three
+    counters the ``token_count`` gate exposes, as one projection."""
+    t = F.col(text_col)
+    toks = F.split(F.trim(t), r"\s+")
+    return df.select(
+        F.col(id_col),
+        F.when(F.length(F.trim(t)) == 0, F.lit(0))
+        .otherwise(F.size(toks))
+        .cast("long")
+        .alias("n_tokens"),
+        F.length(t).cast("long").alias("n_chars_actual"),
+        bpe_ish_token_count(t).alias("n_pieces"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Deterministic document fingerprint: xxhash64 of the
     whitespace-normalized lowercase text (rolling-hash stand-in, exact

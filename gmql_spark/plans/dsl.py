@@ -310,14 +310,49 @@ def _op_gapfill(dfs, st):
     )
 
 
+_SORT_RE = re.compile(
+    r"^(?P<expr>.+?)\s+(?P<dir>asc|desc)"
+    r"(?:\s+nulls\s+(?P<nulls>first|last))?\s*$",
+    re.I | re.S,
+)
+
+
+def _sort_exprs(by) -> list:
+    """Order specs -> Columns WITH their sort direction applied.
+
+    ``F.expr('value desc')`` parses as ``value AS desc`` (an alias, per
+    SQL's bare-alias rule) — NOT a descending sort — so the trailing
+    ``asc``/``desc`` (+ ``nulls first|last``) must be peeled off here
+    and applied as Column methods. Caught by the full-board GSL round
+    trip (tests/test_dsl_board.py): TOPK/ORDER scripts silently ranked
+    ascending before this."""
+    out = []
+    for e in (by if isinstance(by, list) else [by]):
+        m = _SORT_RE.match(str(e).strip())
+        if not m:
+            out.append(F.expr(str(e).strip()))
+            continue
+        c = F.expr(m.group("expr"))
+        desc = m.group("dir").lower() == "desc"
+        nulls = (m.group("nulls") or "").lower()
+        if desc:
+            c = {"first": c.desc_nulls_first, "last": c.desc_nulls_last}.get(
+                nulls, c.desc
+            )()
+        else:
+            c = {"first": c.asc_nulls_first, "last": c.asc_nulls_last}.get(
+                nulls, c.asc
+            )()
+        out.append(c)
+    return out
+
+
 def _op_topk(dfs, st):
     from gmql_spark.operators.order import topg_per_key, topk_per_key
 
     keys = st.params.get("key", ["conv_id"])
     keys = keys if isinstance(keys, list) else [keys]
-    order = [F.expr(e) for e in (
-        st.params["by"] if isinstance(st.params.get("by"), list) else [st.params.get("by", "ts")]
-    )]
+    order = _sort_exprs(st.params.get("by", "ts"))
     groups = st.params.get("group")
     if groups:
         groups = groups if isinstance(groups, list) else [groups]
@@ -523,7 +558,12 @@ def _op_cover(dfs, st):
 
 
 def _op_dedup(dfs, st):
-    from gmql_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+    from gmql_spark.operators.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_near_pairs,
+    )
 
     mode = st.params.get("mode", "exact")
     idc = st.params.get("id", "doc_id")
@@ -533,22 +573,44 @@ def _op_dedup(dfs, st):
     if mode == "minhash":
         return minhash_lsh_pairs(
             dfs[0], id_col=idc, text_col=txt,
+            num_perm=int(st.params.get("perms", 64)),
+            bands=int(st.params.get("bands", 16)),
             threshold=float(st.params.get("threshold", 0.5)),
+            n=int(st.params.get("n", 3)),
+            hash_fn=st.params.get("hash", "xxhash64"),
             # hot-bucket guard (cap:) — see minhash_lsh_pairs docstring
             max_bucket_size=(
                 int(st.params["cap"]) if "cap" in st.params else None
             ),
         )
-    raise GSLError(f"line {st.pos}: DEDUP mode must be exact|minhash")
+    if mode == "ngram":
+        return ngram_jaccard_pairs(
+            dfs[0], id_col=idc, text_col=txt,
+            threshold=float(st.params.get("threshold", 0.5)),
+            n=int(st.params.get("n", 3)),
+            max_doc_count=(
+                int(st.params["cap"]) if "cap" in st.params else None
+            ),
+        )
+    if mode == "simhash":
+        return simhash_near_pairs(
+            dfs[0], id_col=idc, text_col=txt,
+            max_hamming=int(st.params.get("hamming", 3)),
+            hash_fn=st.params.get("hash", "xxhash64"),
+        )
+    raise GSLError(f"line {st.pos}: DEDUP mode must be exact|minhash|ngram|simhash")
 
 
 def _op_components(dfs, st):
-    """Duplicate-cluster grouping over a pair table (COMPONENTS, 1
-    input = near-dup pairs, e.g. a DEDUP(mode: 'minhash') result)."""
+    """Duplicate-cluster grouping over a pair table (COMPONENTS, first
+    input = near-dup pairs, e.g. a DEDUP(mode: 'minhash') result; an
+    optional second input is the singleton-nodes table — one id column
+    named like ``a`` — adding isolated docs as their own components)."""
     from gmql_spark.operators.dedup import dedup_components
 
     return dedup_components(
         dfs[0],
+        nodes=dfs[1] if len(dfs) > 1 else None,
         a=st.params.get("a", "id_a"),
         b=st.params.get("b", "id_b"),
         max_rounds=int(st.params.get("max_rounds", 50)),
@@ -672,8 +734,7 @@ def _op_order(dfs, st):
 
     keys = st.params.get("key", [])
     keys = keys if isinstance(keys, list) else [keys]
-    by = st.params.get("by", "ts")
-    order = [F.expr(e) for e in (by if isinstance(by, list) else [by])]
+    order = _sort_exprs(st.params.get("by", "ts"))
     if "percent" in st.params:
         return top_percent_per_key(dfs[0], keys, order, float(st.params["percent"]))
     if "group" in st.params:
@@ -738,8 +799,202 @@ def _op_merge(dfs, st):
     return dfs[0].withColumn(key, F.lit("_all"))
 
 
+_WINDOW_RESERVED = ("size", "slide", "key", "ts")
+
+
+def _agg_exprs(st: Statement, reserved) -> list:
+    """name: 'sql-expr' params -> aliased aggregate Columns."""
+    return [
+        F.expr(str(v)).alias(k) for k, v in st.params.items() if k not in reserved
+    ]
+
+
+def _op_window(dfs, st):
+    """WINDOW — generic tumbling/sliding window aggregate over an event
+    table (operators.window_agg.window_rollup; the declarative form of
+    the reference's bin flatMap, ``GenometricMap71.scala:152-182``):
+    ``W = WINDOW(size: '1 minute', key: ['user_id'], n: 'count(1)') E``.
+    Reserved params: size/slide/key/ts; every other param is a named
+    aggregate SQL expression. No key -> one global series."""
+    from gmql_spark.operators.window_agg import window_rollup
+
+    keys = st.params.get("key", [])
+    keys = keys if isinstance(keys, list) else [keys]
+    aggs = _agg_exprs(st, _WINDOW_RESERVED)
+    if not aggs:
+        raise GSLError(f"line {st.pos}: WINDOW needs aggregate expressions")
+    return window_rollup(
+        dfs[0],
+        st.params.get("size", "1 minute"),
+        aggs=aggs,
+        keys=keys,
+        ts=st.params.get("ts", "ts"),
+        slide=st.params.get("slide"),
+    )
+
+
+def _op_rewindow(dfs, st):
+    """REWINDOW — cascade a WINDOW result to a coarser grain with caller
+    merge aggregates (window_agg.cascade; continuous-aggregate step):
+    ``H = REWINDOW(size: '1 hour', key: ['user_id'], n: 'sum(n)') M``."""
+    from gmql_spark.operators.window_agg import cascade
+
+    keys = st.params.get("key", [])
+    keys = keys if isinstance(keys, list) else [keys]
+    aggs = _agg_exprs(st, _WINDOW_RESERVED)
+    if not aggs:
+        raise GSLError(f"line {st.pos}: REWINDOW needs aggregate expressions")
+    return cascade(dfs[0], st.params.get("size", "1 hour"), aggs=aggs, keys=keys)
+
+
+def _op_gaps(dfs, st):
+    """GAPS — per-key inter-event gap column (rollup.with_gap_seconds:
+    gap_s/gap_us since the previous row of the key, integer-us exact)."""
+    from gmql_spark.operators.rollup import with_gap_seconds
+
+    order = st.params.get("order", "turn_idx")
+    return with_gap_seconds(
+        dfs[0],
+        key=st.params.get("key", "conv_id"),
+        order=order if isinstance(order, list) else [order],
+        ts=st.params.get("ts", "ts"),
+    )
+
+
+def _op_percentiles(dfs, st):
+    """PERCENTILES — exact per-key percentiles of a value column
+    (rollup.exact_percentiles rank+lerp plan; EXTEND/AggregateRD recast).
+    ``pcts``/``names`` override the default p50/p95/p99 triple."""
+    from gmql_spark.operators.rollup import exact_percentiles
+
+    keys = st.params.get("key", ["conv_id"])
+    keys = keys if isinstance(keys, list) else [keys]
+    kw = {}
+    if "pcts" in st.params:
+        pcts = st.params["pcts"]
+        kw["pcts"] = [float(p) for p in (pcts if isinstance(pcts, list) else [pcts])]
+    if "names" in st.params:
+        names = st.params["names"]
+        kw["names"] = names if isinstance(names, list) else [names]
+    return exact_percentiles(
+        dfs[0], keys=keys, value=st.params.get("value", "gap_s"), **kw
+    )
+
+
+def _op_hist(dfs, st):
+    """HIST — mergeable log₂ histogram sketch rollup (functions.sketches):
+    ``from: 'raw'`` (default) buckets a raw value column per window
+    (hist_rollup); ``from: 'hist'`` merges a finer HIST result to a
+    coarser tier (hist_cascade, exact bucket-count addition)."""
+    from gmql_spark.functions.sketches import hist_cascade, hist_rollup
+
+    keys = st.params.get("key", ["conv_id"])
+    keys = keys if isinstance(keys, list) else [keys]
+    tier = st.params.get("tier", "1m")
+    if st.params.get("from", "raw") == "hist":
+        return hist_cascade(
+            dfs[0], tier, keys=keys, col=st.params.get("col", "lat_hist")
+        )
+    return hist_rollup(
+        dfs[0],
+        tier,
+        keys=keys,
+        value_col=st.params.get("value", "gap_us"),
+        ts=st.params.get("ts", "ts"),
+        out=st.params.get("col", "lat_hist"),
+    )
+
+
+def _op_textstats(dfs, st):
+    """TEXTSTATS — per-document text-analysis profiles
+    (operators.textstats): ``what: 'quality' | 'lang' | 'fingerprint' |
+    'tokens'`` (quality features / stopword-marker language id / md5
+    fingerprint / whitespace + sub-word token counts)."""
+    from gmql_spark.operators import textstats as _ts
+
+    what = st.params.get("what", "quality")
+    text = st.params.get("text", "text")
+    if what == "quality":
+        return _ts.quality_features(dfs[0], text_col=text)
+    if what == "lang":
+        return _ts.language_id(dfs[0], text_col=text)
+    if what == "fingerprint":
+        return _ts.fingerprint(
+            dfs[0], text_col=text, id_col=st.params.get("id", "doc_id")
+        )
+    if what == "tokens":
+        return _ts.token_stats(
+            dfs[0], text_col=text, id_col=st.params.get("id", "doc_id")
+        )
+    raise GSLError(
+        f"line {st.pos}: TEXTSTATS what must be quality|lang|fingerprint|tokens"
+    )
+
+
+def _op_nearpairs(dfs, st):
+    """NEARPAIRS — embedding-cosine near-duplicate pairs
+    (similarity.cosine_near_pairs): ``method: 'brute'`` bounded exact
+    baseline or ``'lsh'`` bucketed scale path."""
+    from gmql_spark.operators.similarity import cosine_near_pairs
+
+    kw = {}
+    for p, cast in (("planes", int), ("tables", int), ("dim", int), ("seed", int)):
+        if p in st.params:
+            kw["n_" + p if p in ("planes", "tables") else p] = cast(st.params[p])
+    return cosine_near_pairs(
+        dfs[0],
+        float(st.params.get("threshold", 0.5)),
+        id_col=st.params.get("id", "vec_id"),
+        vec_col=st.params.get("vec", "embedding"),
+        method=st.params.get("method", "brute"),
+        **kw,
+    )
+
+
+def _op_frames(dfs, st):
+    """FRAMES — multimodal frame-sampling plumbing
+    (multimodal.sample_frames, pure Catalyst explode)."""
+    from gmql_spark.operators.multimodal import sample_frames
+
+    return sample_frames(
+        dfs[0],
+        every_ms=int(st.params.get("every", 1000)),
+        id_col=st.params.get("id", "media_id"),
+        duration_col=st.params.get("duration", "duration_ms"),
+    )
+
+
+def _op_joinby(dfs, st):
+    """JOINBY — plain attribute equi-join (the reference's meta JoinBy,
+    ``MetaJoinMJD2.scala:26-157``, as a statement): ``on`` columns must
+    exist on both sides; ``broadcast: true`` hints the second input as
+    the small dimension side; ``how`` is any Spark join type."""
+    on = st.params.get("on", ["conv_id"])
+    on = on if isinstance(on, list) else [on]
+    right = dfs[1]
+    if st.params.get("broadcast", False):
+        right = F.broadcast(right)
+    return dfs[0].join(right, on=on, how=st.params.get("how", "inner"))
+
+
+def _op_canonical(dfs, st):
+    """CANONICAL — canonical-document pick per duplicate component
+    (dedup.canonical_docs, skew-proof max_by): inputs = docs,
+    components(id, component)."""
+    from gmql_spark.operators.dedup import canonical_docs
+
+    return canonical_docs(
+        dfs[0],
+        dfs[1],
+        id_col=st.params.get("id", "doc_id"),
+        order_col=st.params.get("order"),
+    )
+
+
 # op -> (fn, n_inputs) ≙ the reference's per-operator arity checks
-# (``Translator.scala`` check_input_number)
+# (``Translator.scala`` check_input_number); a tuple of ints = the
+# statement accepts any of those input counts (COMPONENTS' optional
+# singleton-nodes table)
 OPS: dict[str, tuple] = {
     "SELECT": (_op_select, 1),
     "PROJECT": (_op_project, 1),
@@ -769,13 +1024,23 @@ OPS: dict[str, tuple] = {
     "SEMIJOIN": (_op_semijoin, 2),
     "PURGE": (_op_semijoin, 2),
     "DEDUP": (_op_dedup, 1),
-    "COMPONENTS": (_op_components, 1),
+    "COMPONENTS": (_op_components, (1, 2)),
     "COMPRESS": (_op_compress, 1),
     "DECOMPRESS": (_op_decompress, 1),
     "MERGE": (_op_merge, 1),
     "SESSIONIZE": (_op_sessionize, 1),
     "SPLIT": (_op_split, 1),
     "SAMPLE": (_op_sample, 1),
+    "WINDOW": (_op_window, 1),
+    "REWINDOW": (_op_rewindow, 1),
+    "GAPS": (_op_gaps, 1),
+    "PERCENTILES": (_op_percentiles, 1),
+    "HIST": (_op_hist, 1),
+    "TEXTSTATS": (_op_textstats, 1),
+    "NEARPAIRS": (_op_nearpairs, 1),
+    "FRAMES": (_op_frames, 1),
+    "JOINBY": (_op_joinby, 2),
+    "CANONICAL": (_op_canonical, 2),
 }
 
 
@@ -918,9 +1183,11 @@ def compile_script(
         if st.op not in OPS:
             raise GSLError(f"line {st.pos}: unknown operator {st.op!r}; known: {sorted(OPS)}")
         fn, arity = OPS[st.op]
-        if len(st.inputs) != arity:
+        arities = arity if isinstance(arity, tuple) else (arity,)
+        if len(st.inputs) not in arities:
             raise GSLError(
-                f"line {st.pos}: {st.op} takes {arity} input(s), got {len(st.inputs)}"
+                f"line {st.pos}: {st.op} takes "
+                f"{'/'.join(map(str, arities))} input(s), got {len(st.inputs)}"
             )
         missing = [i for i in st.inputs if i not in symbols]
         if missing:

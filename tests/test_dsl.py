@@ -139,7 +139,7 @@ def test_order_statement_variants(spark, raw):
         "O = ORDER(key: 'conv_id', by: ['ts desc'], k: 2) T; MATERIALIZE O;",
         tables={"T": raw},
     ).materialized["O"]
-    exp = topk_per_key(raw, ["conv_id"], [F.expr("ts desc")], 2)
+    exp = topk_per_key(raw, ["conv_id"], [F.col("ts").desc()], 2)
     assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
 
     gotp = compile_script(
@@ -594,4 +594,32 @@ def test_script_train_and_jaccard_equals_direct(spark, raw):
     pd.testing.assert_frame_equal(
         got_j[cols].sort_values(cols[:2]).reset_index(drop=True),
         exp_j[cols].sort_values(cols[:2]).reset_index(drop=True),
+    )
+
+
+def test_script_jaccard_keyed(spark, raw):
+    """Keyed JACCARD (the per-key cover_jaccard path): the isl/iv key
+    equality predicate is derived from a self-join of the same input
+    frame — this pins Spark's ambiguous-self-join resolution for the
+    DSL-reachable keyed variant (the flat gate path uses keys=())."""
+    from gmql_spark.operators.cover import cover_jaccard
+
+    script = """
+        IV = PROJECT(keep: ['role'], start_ts: 'ts', end_ts: 'ts + interval 300 seconds') T;
+        J = JACCARD(min: 2, key: ['role']) IV;
+        MATERIALIZE J;
+    """
+    got = compile_script(spark, script, tables={"T": raw}).materialized["J"]
+    iv = raw.select(
+        "role",
+        F.col("ts").alias("start_ts"),
+        F.expr("ts + interval 300 seconds").alias("end_ts"),
+    )
+    exp = cover_jaccard(iv, min_acc=2, keys=("role",)).toPandas()
+    assert exp["role"].nunique() > 1  # genuinely multi-key
+    cols = ["role", "cover_start", "cover_end", "acc_max", "n_contrib",
+            "jaccard_result", "jaccard_intersect"]
+    pd.testing.assert_frame_equal(
+        got.toPandas()[cols].sort_values(cols[:3]).reset_index(drop=True),
+        exp[cols].sort_values(cols[:3]).reset_index(drop=True),
     )

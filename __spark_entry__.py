@@ -139,17 +139,20 @@ def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _read(spark, sf_dir, "events")
     cols = ["user_id", "window_start", "n", "is_gap", "n_locf"]
-    hz = window_rollup(ev, "1 hour", aggs=[F.count(F.lit(1)).alias("n")], keys=["user_id"])
-    zero = gapfill(hz, tier="1h", key="user_id", value_col="n", interp_col=None).select(
-        F.lit("zero").alias("variant"),
-        *cols,
-        F.lit(None).cast("double").alias("latency_interp"),
-    )
+    # ONE hourly rollup feeds both variants (gapfill projects just the
+    # columns it needs, so the zero variant simply ignores val_max) —
+    # identical agg subtrees let Catalyst reuse the scan + exchange
+    # instead of window-aggregating the events table twice
     hi = window_rollup(
         ev,
         "1 hour",
         aggs=[F.count(F.lit(1)).alias("n"), F.max("value").alias("val_max")],
         keys=["user_id"],
+    )
+    zero = gapfill(hi, tier="1h", key="user_id", value_col="n", interp_col=None).select(
+        F.lit("zero").alias("variant"),
+        *cols,
+        F.lit(None).cast("double").alias("latency_interp"),
     )
     interp = gapfill(hi, tier="1h", key="user_id", value_col="n", interp_col="val_max").select(
         F.lit("interp").alias("variant"), *cols, "latency_interp"
@@ -226,8 +229,13 @@ def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read(spark, sf_dir, "events").select("user_id", "ts", "value")
     dec = F.col("value").cast("decimal(18,2)")
     aggs = [F.count(F.lit(1)).alias("n"), F.sum(dec).cast("double").alias("val_sum")]
+    # scratch dir keyed by sf_dir AND pid: run_rollup_to_table wipes it
+    # on entry, so two concurrent drivers (plan audit + gate check, or
+    # parallel bench invocations) on the same sf_dir must not share one
     work = _os.path.join(
-        tempfile.gettempdir(), "gmql_stream_gate", sf_dir.strip("/").replace("/", "_")
+        tempfile.gettempdir(),
+        "gmql_stream_gate",
+        f"{sf_dir.strip('/').replace('/', '_')}_{_os.getpid()}",
     )
     emitted, boundary = run_rollup_to_table(
         spark, ev, work, "1 minute", aggs=aggs, keys=["user_id"],

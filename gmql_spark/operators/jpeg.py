@@ -294,7 +294,18 @@ def _extend(bits: int, size: int) -> int:
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline sequential JFIF decode -> (h, w) gray or (h, w, 3) RGB
     uint8. Raises ValueError on non-baseline (progressive etc.) or
-    malformed streams — corrupt data must not degrade to stub output."""
+    malformed streams — corrupt data must not degrade to stub output.
+    Truncated streams surface as IndexError/struct.error from the raw
+    byte reads; normalize them to the documented ValueError so the
+    decode layer's recognized-but-malformed contract (``decode_any``
+    quarantines on ValueError) holds for every corruption shape."""
+    try:
+        return _decode_jpeg(payload)
+    except (IndexError, struct.error) as ex:
+        raise ValueError(f"jpeg: truncated or malformed stream ({ex})") from ex
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray:
     data = bytes(payload)
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")

@@ -244,19 +244,29 @@ def synth_image(seed_bytes: bytes, fmt: str) -> tuple[np.ndarray, bytes]:
     round-trip pixel-EXACTLY through the lossy pipeline (see
     ``jpeg.py`` module doc), so the same pixels-only oracle applies."""
     h8 = hashlib.sha256(seed_bytes).digest()
-    rng = np.random.Generator(np.random.PCG64(int.from_bytes(h8[:8], "little")))
     if fmt == "jpeg":
         from gmql_spark.operators.jpeg import encode_jpeg
 
-        w, h = 9 + h8[8] % 32, 8 + h8[9] % 25
-        tiles = rng.integers(
-            0, 256, size=(-(-h // 8), -(-w // 8)), dtype=np.uint8
-        )
-        px = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)[:h, :w]
+        px = synth_jpeg_pixels(seed_bytes)
         return px, encode_jpeg(px, restart_interval=2 if h8[10] % 2 else 0)
+    rng = np.random.Generator(np.random.PCG64(int.from_bytes(h8[:8], "little")))
     w, h = 3 + h8[8] % 13, 2 + h8[9] % 11
     px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
     return px, (encode_bmp(px) if fmt == "bmp" else encode_ppm(px))
+
+
+def synth_jpeg_pixels(seed_bytes: bytes) -> np.ndarray:
+    """Pixels of the deterministic jpeg test mosaic, WITHOUT running the
+    codec — the single source of truth shared by ``synth_image`` (which
+    then encodes) and the fixture oracle (tools/make_image_fixture.py,
+    which must stay pixels-only). Keeping both callers on one helper
+    means a constant change here can never silently desynchronize the
+    engine path from the fixture expectations."""
+    h8 = hashlib.sha256(seed_bytes).digest()
+    rng = np.random.Generator(np.random.PCG64(int.from_bytes(h8[:8], "little")))
+    w, h = 9 + h8[8] % 32, 8 + h8[9] % 25
+    tiles = rng.integers(0, 256, size=(-(-h // 8), -(-w // 8)), dtype=np.uint8)
+    return np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)[:h, :w]
 
 
 def probe_metadata(

@@ -73,8 +73,9 @@ def topk_per_key(
     if null_col is None:
         return ranked.filter(F.col(rank_col) <= k)
     hashable = [
-        F.col(c) for c, t in df.dtypes if not t.startswith("map")
-    ]  # xxhash64 rejects map types
+        F.col(c) for c, t in df.dtypes if "map<" not in t
+    ]  # xxhash64 rejects map types ANYWHERE in the column (also nested
+    # inside struct/array), so filter on the full dtype string
     w_keys = Window.partitionBy(*keys)
     w_null = Window.partitionBy(*keys, F.col(null_col).isNull()).orderBy(
         *order_by, F.xxhash64(*hashable)

@@ -583,6 +583,18 @@ def test_order_null_key_segregation(spark):
     assert set(top.id) == {3, 1, 5, 6, 7}
     assert top.set_index("id").loc[7].isna()["order_pos"]
 
+    # the deterministic null-fill tiebreak hashes row content; maps are
+    # unhashable for xxhash64 even NESTED in a struct — the filter must
+    # exclude on the full dtype string, not just top-level map columns
+    nested = spark.createDataFrame(
+        [("a", 1, None, ({"x": "1"},)), ("a", 2, None, ({"y": "2"},))],
+        "k string, id long, v double, meta struct<tags:map<string,string>>",
+    )
+    got = topk_per_key(
+        nested, ["k"], [F.col("v").desc(), F.col("id")], k=1, null_col="v"
+    ).toPandas()
+    assert len(got) == 1  # planned + executed without AnalysisException
+
     # default (window-native) behavior unchanged: nulls are ranked
     plain = rank_per_key(df, ["k"], [F.col("v").desc_nulls_last(), F.col("id")]).toPandas()
     assert plain.order_pos.notna().all()

@@ -135,9 +135,25 @@ def test_no_unpartitioned_windows_engine_wide(spark, raw):
     )
     from gmql_spark.plans.inspect import unpartitioned_windows
 
-    # the detector itself: positive control
+    # the detector itself: positive controls — a plain column order AND
+    # an order EXPRESSION (parens in the spec's first element defeated
+    # the old flat-regex detector, hiding e.g. orderBy(cast(...)))
     bad = raw.withColumn("r", F.row_number().over(Window.orderBy("ts")))
     assert unpartitioned_windows(physical_plan(bad)), "detector missed a global window"
+    bad_expr = raw.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.col("ts").cast("long")))
+    )
+    assert unpartitioned_windows(physical_plan(bad_expr)), (
+        "detector missed a global window ordered by an expression"
+    )
+    # negative control: a PARTITIONED window ordered by an expression
+    good = raw.withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("conv_id").orderBy(F.col("ts").cast("long"))
+        ),
+    )
+    assert not unpartitioned_windows(physical_plan(good))
 
     ev = raw.select("conv_id", "ts").withColumn("_d", F.lit(1))
     p = _with_pid(ev, "ts")

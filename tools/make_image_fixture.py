@@ -25,7 +25,10 @@ import pyarrow.parquet as pq
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from gmql_spark.operators.multimodal import synth_image  # noqa: E402
+from gmql_spark.operators.multimodal import (  # noqa: E402
+    synth_image,
+    synth_jpeg_pixels,
+)
 
 
 def _stats(px) -> tuple[int, int, int, int, str]:
@@ -46,14 +49,8 @@ def expected_row(text: str) -> tuple:
     (block-constant, DC step 8 — see jpeg.py), so pixels-only stats
     are the true decode expectation for all three formats."""
     rgb, _ = synth_image(text.encode("utf-8"), "ppm")  # lossless fmts share px
-    seed = text.encode("utf-8")
-    import numpy as _np
-
-    h8 = hashlib.sha256(seed).digest()
-    rng = _np.random.Generator(_np.random.PCG64(int.from_bytes(h8[:8], "little")))
-    w, h = 9 + h8[8] % 32, 8 + h8[9] % 25
-    tiles = rng.integers(0, 256, size=(-(-h // 8), -(-w // 8)), dtype=_np.uint8)
-    jpx = _np.repeat(_np.repeat(tiles, 8, axis=0), 8, axis=1)[:h, :w]
+    jpx = synth_jpeg_pixels(text.encode("utf-8"))  # shared pixel synth,
+    # codec never runs here — the fixture stays a pixels-only oracle
     return _stats(rgb) + _stats(jpx)
 
 

@@ -32,6 +32,25 @@ in spirit, not code)::
     params    := param (',' param)*
     param     := KEY ':' value | raw-expression          -- SELECT/PROJECT
     value     := STRING | NUMBER | IDENT | '[' value* ']'
+
+Statement inventory (every family is round-tripped against the driver
+board in tests/test_dsl_board.py — the scripts must reproduce the
+CORRECTNESS gates' frames exactly):
+
+- relational:    SELECT PROJECT EXTEND GROUP ORDER TOPK UNION MERGE
+                 SEMIJOIN PURGE JOINBY
+- windows/tiers: ROLLUP CASCADE WINDOW REWINDOW GAPFILL GAPS
+                 PERCENTILES HIST SESSIONIZE PROFILE
+- range algebra: DIFFERENCE ASOF NEAREST CONDJOIN JOIN COVER HISTOGRAM
+                 SUMMIT FLAT JACCARD MAP
+- text/dedup:    DEDUP(exact|minhash|ngram|simhash) COMPONENTS
+                 CANONICAL TEXTSTATS SPLIT SAMPLE
+- similarity:    ANN(brute|lsh) IVF TRAIN NEARPAIRS
+- multimodal:    FRAMES
+- compression:   COMPRESS DECOMPRESS (Gorilla streams, zone-map reads)
+- storage/maintenance (special-cased in compile_script, side-effecting
+  or path-bound): LOAD MATERIALIZE INGEST COMPACT RETENTION REALTIME
+                 STITCH
 """
 
 from __future__ import annotations

@@ -47,6 +47,9 @@ BENCH_QUERIES = [
     "realtime_rollup",
     "latency_histogram",
     "range_stitch",
+    # a REAL Structured Streaming drain (stage -> availableNow ->
+    # foreachBatch parquet sink) measured like any other headline query
+    "stream_rollup",
 ]
 
 

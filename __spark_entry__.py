@@ -209,6 +209,29 @@ def q_top_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "event_id", "value", "order_pct")
 
 
+def _reap_dead_pid_dirs(root: str) -> None:
+    """Remove ``*_<pid>`` scratch dirs whose owning process is gone —
+    the pid keying isolates concurrent drivers, but each process would
+    otherwise leave a full staged events copy behind in the system temp
+    dir forever. Live processes' dirs are never touched."""
+    import shutil
+
+    try:
+        entries = _os.listdir(root)
+    except FileNotFoundError:
+        return
+    for e in entries:
+        pid_s = e.rsplit("_", 1)[-1]
+        if not pid_s.isdigit() or int(pid_s) == _os.getpid():
+            continue
+        try:
+            _os.kill(int(pid_s), 0)
+        except ProcessLookupError:
+            shutil.rmtree(_os.path.join(root, e), ignore_errors=True)
+        except PermissionError:
+            pass  # alive, owned by another user
+
+
 def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A REAL Structured Streaming run as a correctness gate
     (streaming.materialize.run_rollup_to_table): events staged to an
@@ -232,10 +255,10 @@ def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scratch dir keyed by sf_dir AND pid: run_rollup_to_table wipes it
     # on entry, so two concurrent drivers (plan audit + gate check, or
     # parallel bench invocations) on the same sf_dir must not share one
+    root = _os.path.join(tempfile.gettempdir(), "gmql_stream_gate")
+    _reap_dead_pid_dirs(root)
     work = _os.path.join(
-        tempfile.gettempdir(),
-        "gmql_stream_gate",
-        f"{sf_dir.strip('/').replace('/', '_')}_{_os.getpid()}",
+        root, f"{sf_dir.strip('/').replace('/', '_')}_{_os.getpid()}"
     )
     emitted, boundary = run_rollup_to_table(
         spark, ev, work, "1 minute", aggs=aggs, keys=["user_id"],

@@ -66,15 +66,51 @@ def _with_pid(df: DataFrame, order_col: str, bucket_s: float = SWEEP_BUCKET_S) -
     )
 
 
-def _prefix_scan_offsets(ptotals: DataFrame, total_type: str) -> DataFrame:
+def _prefix_scan_offsets(
+    ptotals: DataFrame, total_type: str, group: int = 4096
+) -> DataFrame:
     """Exclusive prefix sum of per-bucket totals WITHOUT a global-order
-    WindowExec: collect the (tiny, bucket-grain — see ``_with_pid``)
-    totals frame into ONE sorted array and run ``aggregate()`` over it
-    (JVM higher-order function, one row), then explode back to
-    ``(_pid, _offset)``. Replaces ``Window.orderBy("_pid")`` — an
-    unpartitioned window is banned engine-wide (tools/plan_audit.py
-    fails on any), even on frames known to be small, so the blind spot
-    can't silently spread to a big frame."""
+    WindowExec, in two levels: buckets are grouped into super-buckets of
+    ``group``, the within-super prefix is a PARTITIONED window (linear,
+    distributed), and only the per-super totals — #buckets/``group``
+    rows — go through the single-row ``aggregate()`` array scan
+    (:func:`_scan_array_offsets`, whose concat-per-element accumulator
+    is QUADRATIC in its input length: fine at a few thousand elements,
+    not at a multi-year fine-grain bucket count). Global offset =
+    super offset + within-super offset."""
+    sp = ptotals.withColumn(
+        "_spid", F.floor(F.col("_pid") / F.lit(int(group))).cast("long")
+    )
+    w = (
+        Window.partitionBy("_spid")
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = sp.withColumn(
+        "_loff", F.coalesce(F.sum("_ptotal").over(w), F.lit(0).cast(total_type))
+    )
+    stotals = sp.groupBy(F.col("_spid").alias("_pid")).agg(
+        F.sum("_ptotal").cast(total_type).alias("_ptotal")
+    )
+    soff = (
+        _scan_array_offsets(stotals, total_type)
+        .withColumnRenamed("_pid", "_spid")
+        .withColumnRenamed("_offset", "_soff")
+    )
+    return local.join(F.broadcast(soff), "_spid").select(
+        "_pid", (F.col("_loff") + F.col("_soff")).alias("_offset")
+    )
+
+
+def _scan_array_offsets(ptotals: DataFrame, total_type: str) -> DataFrame:
+    """Exclusive prefix sum of a TINY totals frame: collect into ONE
+    sorted array and run ``aggregate()`` over it (JVM higher-order
+    function, one row), then explode back to ``(_pid, _offset)``.
+    Replaces ``Window.orderBy("_pid")`` — an unpartitioned window is
+    banned engine-wide (tools/plan_audit.py fails on any), even on
+    frames known to be small, so the blind spot can't silently spread
+    to a big frame. Callers must bound the input
+    (:func:`_prefix_scan_offsets` caps it at #buckets/group rows)."""
     return (
         ptotals.agg(F.sort_array(F.collect_list(F.struct("_pid", "_ptotal"))).alias("a"))
         .select(

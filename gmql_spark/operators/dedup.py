@@ -329,10 +329,14 @@ def dedup_components(
         .unionByName(pairs.select(F.col(b).alias("u"), F.col(a).alias("v")))
         .distinct()
     )
-    if nodes is None:
-        ids = edges.select(F.col("u").alias("id")).distinct()
-    else:
-        ids = nodes.select(F.col(a).alias("id")).distinct()
+    ids = edges.select(F.col("u").alias("id")).distinct()
+    if nodes is not None:
+        # ``nodes`` ADDS isolated ids (per the contract above) — it is
+        # not a replacement universe: ids appearing in pairs must stay
+        # in the label table even when the caller's nodes frame misses
+        # them, else their clusters silently vanish AND edges through
+        # them stop propagating labels
+        ids = ids.unionByName(nodes.select(F.col(a).alias("id"))).distinct()
     if method == "star":
         return _components_star(edges, ids, max_rounds)
     if method != "label":

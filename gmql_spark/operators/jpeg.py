@@ -301,8 +301,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     quarantines on ValueError) holds for every corruption shape."""
     try:
         return _decode_jpeg(payload)
-    except (IndexError, struct.error) as ex:
-        raise ValueError(f"jpeg: truncated or malformed stream ({ex})") from ex
+    except (IndexError, struct.error, KeyError, ZeroDivisionError) as ex:
+        # IndexError/struct.error: truncated byte reads; KeyError: scan
+        # references an undefined quant/Huffman table id; ZeroDivision:
+        # zero sampling factor in SOF — all are malformed-stream shapes
+        raise ValueError(f"jpeg: truncated or malformed stream ({ex!r})") from ex
 
 
 def _decode_jpeg(payload: bytes) -> np.ndarray:

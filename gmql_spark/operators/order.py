@@ -72,10 +72,16 @@ def topk_per_key(
     ranked = rank_per_key(df, keys, order_by, rank_col, null_col=null_col)
     if null_col is None:
         return ranked.filter(F.col(rank_col) <= k)
+    # xxhash64 rejects map types ANYWHERE in the column (also nested
+    # inside struct/array — check the full dtype string); hash those
+    # through their JSON rendering instead of dropping them, else two
+    # rows differing ONLY in a map column tie on the hash and which one
+    # fills the Top(k) slot is arbitrary again (map entry order is the
+    # row's construction order — stable for deterministically built
+    # frames, which is the determinism this tiebreak promises)
     hashable = [
-        F.col(c) for c, t in df.dtypes if "map<" not in t
-    ]  # xxhash64 rejects map types ANYWHERE in the column (also nested
-    # inside struct/array), so filter on the full dtype string
+        F.to_json(F.col(c)) if "map<" in t else F.col(c) for c, t in df.dtypes
+    ]
     w_keys = Window.partitionBy(*keys)
     w_null = Window.partitionBy(*keys, F.col(null_col).isNull()).orderBy(
         *order_by, F.xxhash64(*hashable)

@@ -162,6 +162,7 @@ def compact_fact_table(
     buckets = sorted(
         e for e in os.listdir(fact_path) if e.startswith("conv_bucket=")
     )
+    flat: list[str] = []
     for b in buckets:
         bpath = os.path.join(fact_path, b)
         if any(e.startswith(f"{date_col}=") for e in os.listdir(bpath)):
@@ -169,15 +170,15 @@ def compact_fact_table(
                 spark, bpath, partition_col=date_col, min_files=min_files
             )
             out.update({f"{b}/{date_col}={v}": n for v, n in done.items()})
-        else:
-            # dateless layout: the bucket dir itself is the leaf; reuse
-            # the staged-swap machinery one level up with the bucket as
-            # the "partition"
-            nfiles = sum(1 for f in os.listdir(bpath) if f.endswith(".parquet"))
-            if nfiles > min_files:
-                done = compact_partitions(
-                    spark, fact_path, partition_col="conv_bucket",
-                    min_files=min_files, partitions=[b.split("=", 1)[1]],
-                )
-                out.update({f"conv_bucket={v}": n for v, n in done.items()})
+        elif sum(1 for f in os.listdir(bpath) if f.endswith(".parquet")) > min_files:
+            # dateless layout: the bucket dir itself is the leaf
+            flat.append(b.split("=", 1)[1])
+    if flat:
+        # ONE staged-swap sweep over every fragmented dateless bucket —
+        # a per-bucket call would re-list the whole fact dir per bucket
+        done = compact_partitions(
+            spark, fact_path, partition_col="conv_bucket",
+            min_files=min_files, partitions=flat,
+        )
+        out.update({f"conv_bucket={v}": n for v, n in done.items()})
     return out

@@ -312,6 +312,24 @@ def test_dedup_components_transitive_chain(spark):
     assert {r.n for r in per_comp.collect()} == {1}
 
 
+def test_dedup_components_nodes_is_additive_not_universe(spark):
+    """``nodes`` ADDS isolated ids — it must never act as a replacement
+    universe: ids present only in the pair table stay labeled, and
+    connectivity THROUGH them survives, even when the caller's nodes
+    frame lists just the singletons (the documented usage)."""
+    from gmql_spark.operators.dedup import dedup_components
+
+    # 1-2-3 chained only through 2, which the nodes frame omits
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    singletons = spark.createDataFrame([(99,)], "id_a long")
+    for method in ("label", "star"):
+        got = {
+            r.id: r.component
+            for r in dedup_components(pairs, nodes=singletons, method=method).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 99: 99}, (method, got)
+
+
 def test_dedup_components_nonconvergence_raises(spark):
     from gmql_spark.operators.dedup import dedup_components
 

@@ -584,11 +584,14 @@ def test_order_null_key_segregation(spark):
     assert top.set_index("id").loc[7].isna()["order_pos"]
 
     # the deterministic null-fill tiebreak hashes row content; maps are
-    # unhashable for xxhash64 even NESTED in a struct — the filter must
-    # exclude on the full dtype string, not just top-level map columns
+    # unhashable for xxhash64 even NESTED in a struct — map-bearing
+    # columns (checked on the full dtype string) go through to_json so
+    # rows differing only there still hash apart
     nested = spark.createDataFrame(
-        [("a", 1, None, ({"x": "1"},)), ("a", 2, None, ({"y": "2"},))],
-        "k string, id long, v double, meta struct<tags:map<string,string>>",
+        [("a", 1, None, ({"x": "1"},), {"m": 1}),
+         ("a", 2, None, ({"y": "2"},), {"m": 2})],
+        "k string, id long, v double, "
+        "meta struct<tags:map<string,string>>, attrs map<string,int>",
     )
     got = topk_per_key(
         nested, ["k"], [F.col("v").desc(), F.col("id")], k=1, null_col="v"
@@ -745,3 +748,26 @@ def test_cover_jaccard_keyed_matches_per_key_runs(spark, intervals):
         ]
         assert sorted(by_key[key]) == sorted(exp), f"key {key} diverges"
     assert set(by_key) == {"a", "b"}
+
+
+def test_prefix_scan_offsets_two_level(spark):
+    """The keyless sweep's exclusive prefix scan must equal a numpy
+    cumsum across super-bucket boundaries — group < #buckets exercises
+    both levels (partitioned window within supers + array scan over the
+    per-super totals), keeping the quadratic single-row scan bounded at
+    #buckets/group elements."""
+    import numpy as np
+
+    from gmql_spark.operators.cover import _prefix_scan_offsets
+
+    rng = np.random.default_rng(11)
+    pids = sorted(rng.choice(5000, size=200, replace=False).tolist())
+    tot = rng.integers(1, 40, size=200).tolist()
+    df = spark.createDataFrame(list(zip(pids, tot)), "_pid long, _ptotal long")
+    exp = dict(zip(pids, np.concatenate([[0], np.cumsum(tot)[:-1]]).tolist()))
+    for g in (7, 64, 4096):
+        got = {
+            r._pid: r._offset
+            for r in _prefix_scan_offsets(df, "bigint", group=g).collect()
+        }
+        assert got == exp, g

@@ -62,6 +62,11 @@ def main() -> int:
     spark = get_spark(8, app_name="plan-audit", shuffle_partitions=16)
     audit: dict[str, dict] = {}
     for name, fn in entrymod.queries().items():
+        # NB stream_rollup is eager at construction (it RUNS the
+        # availableNow drain before returning the serving frame) — the
+        # audited plan is the emitted-scan + batch-tail union. Seconds
+        # at the audit's sf0.01; accepted so the serving plan shape
+        # stays on the audited board rather than exempted.
         df = fn(spark, sf_dir)
         rep = plan_report(df)
         plan = physical_plan(df)
@@ -76,10 +81,13 @@ def main() -> int:
             and "map_from_entries" not in line
             and "_cat" not in line
             and "_n" not in line
-            # bucket-grain patch assembly (cover._prefix_scan_offsets /
-            # _keyless_neighbors): one collect_list over the tiny _pid
-            # totals frame replaces an unpartitioned window
-            and "_pid" not in line
+            # bucket-grain patch assembly (cover._scan_array_offsets /
+            # _keyless_neighbors): one collect_list over the tiny
+            # _pid-leading struct replaces an unpartitioned window.
+            # Keyed to the exact aggregate signature — a bare "_pid"
+            # substring would exempt ANY object agg touching a column
+            # of that name anywhere on the board
+            and "collect_list(struct(_pid," not in line
         ]
         rep["unsanctioned_object_agg"] = [] if name in SANCTIONED_OBJECT_AGG else bad_obj
         if name in SANCTIONED_OBJECT_AGG and bad_obj:

@@ -49,9 +49,11 @@ TIER_DURATION = {"1m": "1 minute", "1h": "1 hour", "1d": "1 day"}
 DIGEST_FIELDS = "means array<double>, weights array<double>, vmin double, vmax double"
 
 # δ=300 → ~δ/2 centroids (the arcsine scale's k(1)−k(0) = δ/2):
-# measured chained-cascade (1440→24→1 merges) relative error ≤ 0.35% at
-# p50/p95/p99 over lognormal/exponential/uniform at n=200k, vs the
-# histogram sketch's 2×. ~150 centroids × 16 B ≈ 2.4 KB per tier row.
+# measured chained-cascade (1440→24→1 merges) relative error < 1% at
+# p50/p95/p99 over lognormal/exponential/uniform at n=200k (worst
+# observed ≈ 0.7% at p99 on lognormal(3,1); the enforced test contract
+# is 2%), vs the histogram sketch's 2×-of-bin-width.
+# ~150 centroids × 16 B ≈ 2.4 KB per tier row.
 DEFAULT_DELTA = 300.0
 
 

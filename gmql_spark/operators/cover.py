@@ -48,6 +48,30 @@ from pyspark.sql.window import Window
 SWEEP_BUCKET_S = 3600.0  # keyless-sweep time-bucket width (1 hour)
 
 
+def _stage(df: DataFrame) -> DataFrame:
+    """Lazily materialize a sweep stage (``localCheckpoint(eager=False)``)
+    so the stage computes ONCE and every downstream consumer — the main
+    windowed pass AND the tiny broadcast offset/patch subtrees — reads
+    the same executor-local blocks instead of re-running the upstream
+    lineage per subtree. Without this, each broadcast side-frame is a
+    separate Spark job that recomputes its whole upstream; nested
+    sweeps (accumulation → islands → neighbors) recompute the change-
+    point aggregation a combinatorial number of times.
+
+    Checkpointing replaces the staged subplan with an ``ExistingRDD``
+    scan, which would HIDE it from the engine-wide unpartitioned-window
+    audit (tools/plan_audit.py reads only the final plan) — so the ban
+    is enforced here, on the subplan, before it disappears from view.
+    Lazy (not eager) so gate construction stays job-free and bench reps
+    that rebuild the query re-pay the materialization honestly."""
+    from gmql_spark.plans.inspect import physical_plan, unpartitioned_windows
+
+    hits = unpartitioned_windows(physical_plan(df))
+    if hits:
+        raise AssertionError(f"unpartitioned window in staged sweep subplan: {hits}")
+    return df.localCheckpoint(eager=False)
+
+
 def _with_pid(df: DataFrame, order_col: str, bucket_s: float = SWEEP_BUCKET_S) -> DataFrame:
     """Stamp a monotonic time-bucket id ``_pid = floor(t / bucket_s)``.
     All keyless ordered passes below are bucket-local windows over
@@ -110,7 +134,19 @@ def _scan_array_offsets(ptotals: DataFrame, total_type: str) -> DataFrame:
     banned engine-wide (tools/plan_audit.py fails on any), even on
     frames known to be small, so the blind spot can't silently spread
     to a big frame. Callers must bound the input
-    (:func:`_prefix_scan_offsets` caps it at #buckets/group rows)."""
+    (:func:`_prefix_scan_offsets` caps it at #buckets/group rows).
+
+    ``total_type`` must be a non-decimal numeric: the ``aggregate()``
+    merge lambda's ``acc.s + x._ptotal`` widens decimal precision, so
+    the lambda's return type would no longer match the declared
+    accumulator and analysis fails. Normalize decimal totals to
+    long/double before the scan."""
+    if total_type.startswith("decimal"):
+        raise ValueError(
+            "keyless prefix scan does not support decimal totals "
+            f"({total_type}): Spark's aggregate() widens decimal on add, "
+            "breaking the accumulator type; cast to long or double first"
+        )
     return (
         ptotals.agg(F.sort_array(F.collect_list(F.struct("_pid", "_ptotal"))).alias("a"))
         .select(
@@ -137,7 +173,10 @@ def _scan_array_offsets(ptotals: DataFrame, total_type: str) -> DataFrame:
 def _keyless_cumsum(df_pid: DataFrame, order_col: str, col: str, out: str) -> DataFrame:
     """Global running sum of ``col`` in ``order_col`` order, distributed:
     partition-local cumsum + per-partition offsets (exclusive prefix
-    scan of the tiny per-bucket totals, broadcast back)."""
+    scan of the tiny per-bucket totals, broadcast back). The input is
+    staged (:func:`_stage`) so the main pass and the offsets subtree
+    share one materialization."""
+    df_pid = _stage(df_pid)
     w_local = (
         Window.partitionBy("_pid").orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
     )
@@ -161,7 +200,10 @@ def _keyless_neighbors(
     partition-local lag/lead, with each partition's first/last row
     patched from the neighboring partition's edge values (tiny broadcast
     frame). Source columns must be non-null (true for sweep segments),
-    so a null local lag/lead means "partition edge"."""
+    so a null local lag/lead means "partition edge". The input is
+    staged (:func:`_stage`) so the main pass and the edge-patch subtree
+    share one materialization."""
+    df_pid = _stage(df_pid)
     w = Window.partitionBy("_pid").orderBy(order_col)
     out = df_pid
     for c in lag_cols:
@@ -266,14 +308,50 @@ def accumulation(
             "next_t", F.lead("t").over(w_next)
         )
     else:
-        # keyless sweep: distributed two-level prefix sum + neighbor patch
-        # (sweep_bucket_s bounds the per-task row count: all change
-        # points inside one bucket sort in one task)
-        pid = _with_pid(per_t, "t", sweep_bucket_s)
-        cum = _keyless_cumsum(pid, "t", "d", "acc")
-        stepped = _keyless_neighbors(cum, "t", lead_cols=["t"]).withColumnRenamed(
-            "_next_t", "next_t"
-        ).drop("_pid")
+        # keyless sweep, FUSED: one staged change-point frame, ONE
+        # bucket-local window pass computing both the running sum and
+        # the next-change-point lead, and ONE combined broadcast
+        # side-frame (per-bucket prefix offsets + next-bucket first-t
+        # patch, both derived from the same tiny per-bucket aggregate).
+        # Chaining _keyless_cumsum → _keyless_neighbors instead would
+        # stage twice, shuffle/window twice, and broadcast-join twice.
+        # sweep_bucket_s bounds the per-task row count: all change
+        # points inside one bucket sort in one task.
+        pid = _stage(_with_pid(per_t, "t", sweep_bucket_s))
+        w = Window.partitionBy("_pid").orderBy("t")
+        local = pid.withColumn(
+            "_lcum", F.sum("d").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        ).withColumn("_lnext", F.lead("t").over(w))
+        per_pid = _stage(
+            pid.groupBy("_pid").agg(
+                F.sum("d").alias("_ptotal"), F.min("t").alias("_first_t")
+            )
+        )
+        offsets = _prefix_scan_offsets(
+            per_pid.select("_pid", "_ptotal"),
+            per_pid.schema["_ptotal"].dataType.simpleString(),
+        )
+        patch = (
+            per_pid.agg(
+                F.sort_array(F.collect_list(F.struct("_pid", "_first_t"))).alias("a")
+            )
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(a, (x, i) -> struct(x._pid as _pid, "
+                        "if(i < size(a)-1, a[i+1]._first_t, null) as _next_first))"
+                    )
+                ).alias("e")
+            )
+            .select("e.*")
+        )
+        side = offsets.join(F.broadcast(patch), "_pid")
+        stepped = (
+            local.join(F.broadcast(side), "_pid")
+            .withColumn("acc", F.col("_lcum") + F.col("_offset"))
+            .withColumn("next_t", F.coalesce(F.col("_lnext"), F.col("_next_first")))
+            .drop("_lcum", "_lnext", "_offset", "_next_first", "_pid")
+        )
     return (
         stepped.filter(F.col("acc") > 0)
         .filter(F.col("next_t").isNotNull())
@@ -306,14 +384,67 @@ def _islands(
         return flagged.withColumn("_island", F.sum("_new_island").over(w_cum)).drop(
             "_new_island"
         )
+    # keyless, FUSED: one staged segment frame, one bucket-local window
+    # pass (lag for the adjacency flag + running sum of a PROVISIONAL
+    # flag that treats every bucket's first segment as a new island),
+    # and one combined broadcast side-frame. The provisional error is a
+    # constant per bucket: if bucket p's first segment is actually
+    # adjacent to bucket p-1's last (correction c_p = 1), every local
+    # cumsum in p is exactly 1 too high — so
+    #   island = local_cum + offset_p − c_p,
+    # with offset_p the exclusive prefix sum of (provisional bucket
+    # total − c). Chaining _keyless_neighbors → _keyless_cumsum instead
+    # stages twice, windows twice, and broadcast-joins twice.
     pid = _with_pid(acc_segs, "acc_start", sweep_bucket_s)
-    nb = _keyless_neighbors(pid, "acc_start", lag_cols=["acc_end"])
-    flagged = nb.withColumn(
-        "_new_island",
-        F.when(F.col("_prev_acc_end") == F.col("acc_start"), F.lit(0)).otherwise(F.lit(1)),
-    ).drop("_prev_acc_end")
-    return _keyless_cumsum(flagged, "acc_start", "_new_island", "_island").drop(
-        "_new_island", "_pid"
+    w = Window.partitionBy("_pid").orderBy("acc_start")
+    local = _stage(
+        pid.withColumn(
+            "_flag",
+            F.when(
+                F.lag("acc_end").over(w) == F.col("acc_start"), F.lit(0)
+            ).otherwise(F.lit(1)),
+        ).withColumn(
+            "_lcum", F.sum("_flag").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+    )
+    # per-bucket summary: provisional total = last running sum (flags are
+    # 0/1 so max(_lcum) = the bucket's flag sum), plus the edge values
+    # the boundary correction needs
+    per_pid = _stage(
+        local.groupBy("_pid").agg(
+            F.max("_lcum").alias("_ptotal"),
+            F.min("acc_start").alias("_first_start"),
+            F.max_by("acc_end", "acc_start").alias("_last_end"),
+        )
+    )
+    adj = (
+        per_pid.agg(
+            F.sort_array(F.collect_list(F.struct("_pid", "_last_end"))).alias("a")
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(a, (x, i) -> struct(x._pid as _pid, "
+                    "if(i > 0, a[i-1]._last_end, null) as _prev_last_end))"
+                )
+            ).alias("e")
+        )
+        .select("e.*")
+    )
+    per2 = per_pid.join(F.broadcast(adj), "_pid").withColumn(
+        "_c",
+        F.when(F.col("_prev_last_end") == F.col("_first_start"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+    offsets = _prefix_scan_offsets(
+        per2.select("_pid", (F.col("_ptotal") - F.col("_c")).alias("_ptotal")), "bigint"
+    )
+    side = offsets.join(F.broadcast(per2.select("_pid", "_c")), "_pid")
+    return (
+        local.join(F.broadcast(side), "_pid")
+        .withColumn("_island", F.col("_lcum") + F.col("_offset") - F.col("_c"))
+        .drop("_pid", "_flag", "_lcum", "_offset", "_c")
     )
 
 

@@ -33,6 +33,14 @@ in spirit, not code)::
     param     := KEY ':' value | raw-expression          -- SELECT/PROJECT
     value     := STRING | NUMBER | IDENT | '[' value* ']'
 
+Reserved trailing keywords in ORDER specs (``by:`` params): a final
+``asc`` / ``desc`` token (optionally followed by ``nulls first|last``)
+is ALWAYS a sort direction, exactly as in SQL — so an expression whose
+last identifier is literally a column named ``asc``/``desc`` must
+backtick-quote it (``by: '`desc`'`` orders by the column named desc;
+``by: 'price desc'`` orders by price descending). A backtick-quoted
+trailing token is never peeled as a direction.
+
 Statement inventory (every family is round-tripped against the driver
 board in tests/test_dsl_board.py — the scripts must reproduce the
 CORRECTNESS gates' frames exactly):

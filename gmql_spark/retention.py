@@ -160,7 +160,11 @@ def compact_fact_table(
     """
     out: dict[str, int] = {}
     buckets = sorted(
-        e for e in os.listdir(fact_path) if e.startswith("conv_bucket=")
+        e
+        for e in os.listdir(fact_path)
+        if e.startswith("conv_bucket=")
+        and os.path.isdir(os.path.join(fact_path, e))  # stray files would
+        # make the os.listdir(bpath) below abort the whole sweep
     )
     flat: list[str] = []
     for b in buckets:

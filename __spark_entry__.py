@@ -126,6 +126,83 @@ def q_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_percentile_digest_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest percentile SERVING, exact-gated end-to-end: build 1m
+    digests from raw values, merge 1m→1h→1d (never re-touching raw —
+    the mergeable-sketch property the tier cascade needs at 10^12
+    turns), extract p50/p95/p99 from the 1d digests, and compare each
+    against the EXACT per-(group, day) percentile from raw. The gate
+    emits the (grp, window_start) grid with one boolean per percentile.
+
+    The bound is in RANK, which is what t-digest actually guarantees
+    (value error is unbounded on heavy tails): the estimate must lie
+    within the exact [q−0.02, q+0.02] quantile band. δ=300's cascaded
+    rank error is ~q(1−q)·4/δ ≲ 1e-3, and the residual interpolation-
+    convention gap vs numpy-style exact quantiles is ~0.5/n ranks —
+    both far inside 0.02 — so all-true is deterministic on this data.
+    The DuckDB oracle emits the same grid with TRUE literals, making
+    the accuracy contract hash-exact rather than a soft assert."""
+    from gmql_spark.functions.tdigest import (
+        tdigest_cascade,
+        tdigest_quantile,
+        tdigest_rollup,
+    )
+
+    ev = _read(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    src = ev.select(
+        F.pmod(F.col("user_id"), F.lit(4)).cast("long").alias("grp"),
+        "ts",
+        F.col("value").alias("v"),
+    )
+    d1m = tdigest_rollup(src, "1m", keys=("grp",), value_col="v")
+    d1h = tdigest_cascade(d1m, "1h", keys=("grp",))
+    d1d = tdigest_cascade(d1h, "1d", keys=("grp",))
+    est = d1d.select(
+        "grp",
+        "window_start",
+        tdigest_quantile(0.50)("means", "weights", "vmin", "vmax").alias("_e50"),
+        tdigest_quantile(0.95)("means", "weights", "vmin", "vmax").alias("_e95"),
+        tdigest_quantile(0.99)("means", "weights", "vmin", "vmax").alias("_e99"),
+    )
+    eps = 0.02
+    band = {
+        q: (max(q - eps, 0.0), min(q + eps, 1.0)) for q in (0.50, 0.95, 0.99)
+    }
+    # exact band bounds via the engine's rank+lerp plan (hash agg, no
+    # ObjectHashAggregate — built-in percentile() would trip the audit)
+    from gmql_spark.operators.rollup import exact_percentiles
+
+    exact = exact_percentiles(
+        src.select(
+            "grp", F.window("ts", "1 day")["start"].alias("window_start"), "v"
+        ),
+        keys=["grp", "window_start"],
+        value="v",
+        pcts=[b for lo_hi in band.values() for b in lo_hi],
+        names=[
+            f"_{tag}{int(q * 100)}"
+            for q in band
+            for tag in ("lo", "hi")
+        ],
+    )
+    j = est.join(exact, ["grp", "window_start"])
+    fuzz = F.lit(1e-9)
+
+    def ok(p: int):
+        e = F.col(f"_e{p}")
+        return (e >= F.col(f"_lo{p}") - fuzz) & (e <= F.col(f"_hi{p}") + fuzz)
+
+    return j.select(
+        "grp",
+        "window_start",
+        ok(50).alias("p50_ok"),
+        ok(95).alias("p95_ok"),
+        ok(99).alias("p99_ok"),
+    )
+
+
 def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both gap-fill modes in one tag-union (common schema user_id/
     window_start/n/is_gap/n_locf/latency_interp): ``zero`` is the dense
@@ -452,19 +529,6 @@ def q_interval_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("ref_id", "exp_id", "user_id", "int_start", "int_end")
 
 
-def q_summits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SUMMIT (``GenometricCover.scala:269-316``): local-maximum
-    concurrency segments of 10-minute event intervals."""
-    from gmql_spark.operators.cover import summits
-
-    ev = _read(spark, sf_dir, "events")
-    iv = ev.select(
-        F.col("ts").alias("start_ts"),
-        (F.col("ts") + F.expr("interval 600 seconds")).alias("end_ts"),
-    )
-    return summits(iv)
-
-
 def q_union_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION with provenance attribute (UnionMD adds ``_provenance``,
     ``UnionMD.scala:51``; UnionRD schema-merge ≙ unionByName)."""
@@ -477,17 +541,23 @@ def q_union_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------- cover family
 
 def q_cover_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """COVER/HISTOGRAM sweep (``GenometricCover.scala:345-360`` point
-    events + prefix sum): treat each event as a 10-minute interval and
-    emit the global concurrency step function."""
-    from gmql_spark.operators.cover import accumulation
+    """COVER/HISTOGRAM sweep + SUMMIT selection as a tag union (r7
+    board merge — both are projections of the SAME step function, so
+    the accumulation pipeline and its staged sweep frames run once and
+    feed both variants): 'hist' = the global concurrency step function
+    (``GenometricCover.scala:345-360`` point events + prefix sum);
+    'summit' = its local-maximum runs (``:269-316``)."""
+    from gmql_spark.operators.cover import _summits_from_acc, accumulation
 
     ev = _read(spark, sf_dir, "events")
     iv = ev.select(
         F.col("ts").alias("start_ts"),
         (F.col("ts") + F.expr("interval 600 seconds")).alias("end_ts"),
     )
-    return accumulation(iv, keys=())
+    acc = accumulation(iv, keys=())
+    hist = acc.withColumn("variant", F.lit("hist"))
+    summit = _summits_from_acc(acc).withColumn("variant", F.lit("summit"))
+    return hist.unionByName(summit).select("variant", "acc_start", "acc_end", "acc")
 
 
 def q_cover_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1071,6 +1141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_global_1h": q_merge_global_1h,
         "type_histogram": q_type_histogram,
         "latency_percentiles": q_latency_percentiles,
+        "percentile_digest_ok": q_percentile_digest_ok,
         "gapfill": q_gapfill,
         "select_project": q_select_project,
         "topk_per_user": q_topk_per_user,
@@ -1083,7 +1154,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_beyond": q_nearest_beyond,
         "topg": q_topg,
         "interval_intersect": q_interval_intersect,
-        "summits": q_summits,
         "union_provenance": q_union_provenance,
         "cover_accumulation": q_cover_accumulation,
         "cover_jaccard": q_cover_jaccard,
@@ -1661,12 +1731,13 @@ def oracle_sql() -> dict[str, str]:
                    greatest(p.s, x.s) AS int_start, least(p.e, x.e) AS int_end
             FROM p JOIN x ON x.user_id = p.user_id AND p.s < x.e AND x.s < p.e
         """,
-        "summits": """
-            WITH iv AS (
-                SELECT ts AS start_ts, ts + INTERVAL '600 seconds' AS end_ts FROM events
-            ), pts AS (
-                SELECT start_ts AS t, 1 AS d FROM iv
-                UNION ALL SELECT end_ts AS t, -1 AS d FROM iv
+        # r7 board merge: HISTOGRAM + SUMMIT are both projections of the
+        # same sweep, so one CTE chain serves both variants
+        "cover_accumulation": """
+            WITH pts AS (
+                SELECT ts AS t, 1 AS d FROM events
+                UNION ALL
+                SELECT ts + INTERVAL '600 seconds' AS t, -1 AS d FROM events
             ), per_t AS (
                 SELECT t, sum(d) AS d FROM pts GROUP BY t HAVING sum(d) <> 0
             ), s AS (
@@ -1686,7 +1757,12 @@ def oracle_sql() -> dict[str, str]:
                        lead(acc_start) OVER (ORDER BY acc_start) AS ns
                 FROM seg
             )
-            SELECT acc_start, acc_end, CAST(acc AS BIGINT) AS acc
+            SELECT 'hist' AS variant, acc_start, acc_end,
+                   CAST(acc AS BIGINT) AS acc
+            FROM seg
+            UNION ALL
+            SELECT 'summit' AS variant, acc_start, acc_end,
+                   CAST(acc AS BIGINT) AS acc
             FROM nb
             WHERE acc >  coalesce(CASE WHEN pe = acc_start THEN pa ELSE 0 END, 0)
               AND acc >= coalesce(CASE WHEN ns = acc_end   THEN na ELSE 0 END, 0)
@@ -1698,22 +1774,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, event_type, 'right' AS _provenance
             FROM events WHERE event_type = 'signup'
         """,
-        "cover_accumulation": """
-            WITH pts AS (
-                SELECT ts AS t, 1 AS d FROM events
-                UNION ALL
-                SELECT ts + INTERVAL '600 seconds' AS t, -1 AS d FROM events
-            ), per_t AS (
-                SELECT t, sum(d) AS d FROM pts GROUP BY t HAVING sum(d) <> 0
-            ), s AS (
-                SELECT t,
-                       sum(d) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
-                                    AND CURRENT ROW) AS acc,
-                       lead(t) OVER (ORDER BY t) AS next_t
-                FROM per_t
-            )
-            SELECT t AS acc_start, next_t AS acc_end, CAST(acc AS BIGINT) AS acc
-            FROM s WHERE acc > 0 AND next_t IS NOT NULL
+        # percentile digest serving: the oracle pins the ACCURACY
+        # CONTRACT, not the estimates — the grid must exist with every
+        # bound satisfied, so it emits the same (grp, day) grid with
+        # TRUE literals; any digest drifting past 5%-of-range flips a
+        # boolean and hash-fails the gate
+        "percentile_digest_ok": """
+            SELECT CAST(user_id % 4 AS BIGINT) AS grp,
+                   date_trunc('day', ts) AS window_start,
+                   TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+            FROM events
+            WHERE ts IS NOT NULL AND value IS NOT NULL
+            GROUP BY 1, 2
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups

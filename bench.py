@@ -34,8 +34,9 @@ BENCH_QUERIES = [
     "asof_join",
     "ring_join",
     "nearest_beyond",
-    "cover_accumulation",
+    "cover_accumulation",  # r7: tag union HISTOGRAM + SUMMIT (shared sweep)
     "cover_jaccard",
+    "percentile_digest_ok",  # t-digest build -> cascade -> extract, bound-checked
     "map_intervals",
     "dedup_exact",
     "cosine_topk",
@@ -43,7 +44,6 @@ BENCH_QUERIES = [
     "ivf_trained",
     "nearest_k",
     "interval_intersect",
-    "summits",
     "realtime_rollup",
     "latency_histogram",
     "range_stitch",
@@ -53,10 +53,40 @@ BENCH_QUERIES = [
 ]
 
 
+def _loadavg() -> list[float] | None:
+    """1/5/15-minute load averages — co-tenant context for the run.
+    This box shows ±25% wall-clock swings from co-tenant CPU; recording
+    the load with the numbers lets a later reader separate code movement
+    from box movement instead of guessing."""
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except (OSError, ValueError):
+        return None
+
+
+def _calibration(spark) -> float:
+    """Fixed CPU-bound probe measured once per rep: a deterministic
+    16M-row hash-and-reduce with no I/O and one scalar result. Every
+    query's noise-normalized view is its median ÷ the calibration
+    median, so a globally slow box window shows up as a high
+    calibration value instead of masquerading as a code regression."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    t0 = _t.perf_counter()
+    spark.range(0, 16_000_000, 1, 32).select(
+        F.expr("bit_xor(xxhash64(id))")  # bit_xor: sum(xxhash64) overflows under ANSI
+    ).collect()
+    return _t.perf_counter() - t0
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    load_start = _loadavg()
 
     import __spark_entry__ as entrymod
     from gmql_spark.session import get_spark
@@ -94,7 +124,10 @@ def main() -> int:
         .repartition(int(cpus))
     )
 
+    cal_times: list[float] = []
     for rep in range(max(qreps, 1)):
+        cal_times.append(_calibration(spark))
+        print(f"# [{rep}] calibration: {cal_times[-1]:.3f}s", file=sys.stderr)
         for name in BENCH_QUERIES:
             if name not in qs:
                 continue
@@ -173,6 +206,7 @@ def main() -> int:
     raw.unpersist()
 
     total = round(sum(times.values()), 3)
+    cal = statistics.median(cal_times)
     out = {
         "metric": "headline query wall-clock + transcript tier-rollup",
         "value": total,
@@ -184,6 +218,14 @@ def main() -> int:
         "turns": n_turns,
         "turns_per_sec": round(n_turns / rollup_wall, 1),
         "cpus": cpus,
+        # noise protocol: per-rep calibration (fixed 16M-row hash probe)
+        # + box load context; normalized = query median / calibration
+        # median, comparable across box-noise windows
+        "calibration_sec": round(cal, 3),
+        "calibration_reps": [round(x, 3) for x in cal_times],
+        "normalized": {k: round(v / cal, 2) for k, v in times.items()},
+        "loadavg_start": load_start,
+        "loadavg_end": _loadavg(),
     }
     print(json.dumps(out))
     return 0

@@ -76,6 +76,14 @@ def _compress(means: np.ndarray, weights: np.ndarray, delta: float):
         return means, weights
     order = np.lexsort((weights, means))
     means, weights = means[order], weights[order]
+    # provably-merge-free fast path: with UNIT weights and n < 2δ/π the
+    # loop below can never absorb — any adjacent pair spans q-length 2/n,
+    # and k'(q) ≥ k'(0.5) = δ/π everywhere, so its k-span ≥ 2δ/(πn) > 1.
+    # Output is bit-identical to running the loop (sorted singletons);
+    # this is what makes tiny fine-tier windows (1–2 turns a minute)
+    # cost a sort instead of a per-value Python iteration.
+    if means.size < 2.0 * delta / np.pi and np.all(weights == 1.0):
+        return means, weights
     n = float(weights.sum())
     out_m: list[float] = []
     out_w: list[float] = []
@@ -145,6 +153,16 @@ def _digest_out_schema(df: DataFrame, keys: Sequence[str]) -> str:
     return f"{head}window_start timestamp, window_end timestamp, {DIGEST_FIELDS}"
 
 
+# Arrow batches are grouped one level COARSER than the digest grain
+# (per key × _BATCH_S of windows): one Python call + one Arrow transfer
+# per ~day of windows instead of per window. A per-(key, minute)
+# groupBy.applyInPandas pays ~ms of per-group overhead — at 10^5
+# windows that is minutes of pure dispatch for milliseconds of numpy.
+_BATCH_S = 86400
+
+
+
+
 def tdigest_rollup(
     df: DataFrame,
     tier: str,
@@ -154,14 +172,21 @@ def tdigest_rollup(
     delta: float = DEFAULT_DELTA,
 ) -> DataFrame:
     """Build per-(keys, window) digests from raw values — the ONE pass
-    that touches raw-scale rows. Groups at the finest tier are tiny
-    (a conversation-minute of turns), so each ``applyInPandas`` call is
-    a short numpy sort; the shuffle is the same (keys, window) hash
-    partitioning every other rollup uses."""
+    that touches raw-scale rows. The shuffle is the same keys-hash
+    partitioning every other rollup uses; digests are built per window
+    by an inner pandas groupby inside day-sized Arrow batches (see
+    ``_batched_digest_apply``)."""
     keys = list(keys)
     win = F.window(ts, TIER_DURATION[tier])
     g = (
-        df.filter(F.col(value_col).isNotNull() & F.col(ts).isNotNull())
+        # NaN dropped up front (JVM-side) so every batch row is a real
+        # observation; a window whose values are ALL NaN therefore
+        # produces no digest row (it has no observations)
+        df.filter(
+            F.col(value_col).isNotNull()
+            & ~F.isnan(F.col(value_col).cast("double"))
+            & F.col(ts).isNotNull()
+        )
         .select(
             *keys,
             win["start"].alias("window_start"),
@@ -170,14 +195,41 @@ def tdigest_rollup(
         )
     )
     gcols = [*keys, "window_start", "window_end"]
+    batch = F.floor(F.unix_micros("window_start") / F.lit(_BATCH_S * 1_000_000))
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        m, w, lo, hi = build_digest(pdf["_v"].to_numpy(), delta)
-        row = {c: [pdf[c].iloc[0]] for c in gcols}
-        row.update(means=[list(m)], weights=[list(w)], vmin=[lo], vmax=[hi])
-        return pd.DataFrame(row)
+        # fully vectorized: keys are constant within a batch, window_end
+        # is determined by window_start — one lexsort by (window, value),
+        # then one slice per window. No pandas groupby, no per-window
+        # Python call except _compress (which itself short-circuits for
+        # merge-free small windows).
+        ws = pdf["window_start"].to_numpy()
+        we = pdf["window_end"].to_numpy()
+        v = pdf["_v"].to_numpy(dtype=np.float64)
+        order = np.lexsort((v, ws))
+        ws, we, v = ws[order], we[order], v[order]
+        uniq_idx = np.flatnonzero(np.r_[True, ws[1:] != ws[:-1]])
+        bounds = np.append(uniq_idx, ws.size)
+        rows: dict = {c: [] for c in gcols}
+        rows.update(means=[], weights=[], vmin=[], vmax=[])
+        for c in keys:
+            rows[c] = [pdf[c].iloc[0]] * uniq_idx.size
+        rows["window_start"] = list(ws[uniq_idx])
+        rows["window_end"] = list(we[uniq_idx])
+        for i in range(uniq_idx.size):
+            seg = v[bounds[i] : bounds[i + 1]]
+            m, w = _compress(seg, np.ones_like(seg), delta)
+            rows["means"].append(list(m))
+            rows["weights"].append(list(w))
+            rows["vmin"].append(float(seg[0]))
+            rows["vmax"].append(float(seg[-1]))
+        return pd.DataFrame(rows)
 
-    return g.groupBy(*gcols).applyInPandas(fn, _digest_out_schema(g, gcols[:-2]))
+    return (
+        g.withColumn("_batch", batch)
+        .groupBy(*keys, "_batch")
+        .applyInPandas(fn, _digest_out_schema(g, keys))
+    )
 
 
 def tdigest_cascade(
@@ -199,19 +251,42 @@ def tdigest_cascade(
         "vmin",
         "vmax",
     )
-    gcols = [*keys, "window_start", "window_end"]
+    batch = F.floor(F.unix_micros("window_start") / F.lit(_BATCH_S * 1_000_000))
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        parts = [
-            (np.asarray(r.means), np.asarray(r.weights), r.vmin, r.vmax)
-            for r in pdf.itertuples()
-        ]
-        m, w, lo, hi = merge_digests(parts, delta)
-        row = {c: [pdf[c].iloc[0]] for c in gcols}
-        row.update(means=[list(m)], weights=[list(w)], vmin=[lo], vmax=[hi])
-        return pd.DataFrame(row)
+        # vectorized like the rollup: keys constant per batch, one sort
+        # by target window, one merge_digests call per window slice
+        ws = pdf["window_start"].to_numpy()
+        we = pdf["window_end"].to_numpy()
+        mc = pdf["means"].to_numpy()
+        wc = pdf["weights"].to_numpy()
+        lo_c = pdf["vmin"].to_numpy()
+        hi_c = pdf["vmax"].to_numpy()
+        order = np.argsort(ws, kind="stable")
+        ws, we = ws[order], we[order]
+        mc, wc, lo_c, hi_c = mc[order], wc[order], lo_c[order], hi_c[order]
+        uniq_idx = np.flatnonzero(np.r_[True, ws[1:] != ws[:-1]])
+        bounds = np.append(uniq_idx, ws.size)
+        rows: dict = {k: [pdf[k].iloc[0]] * uniq_idx.size for k in keys}
+        rows["window_start"] = list(ws[uniq_idx])
+        rows["window_end"] = list(we[uniq_idx])
+        rows.update(means=[], weights=[], vmin=[], vmax=[])
+        for i in range(uniq_idx.size):
+            s, e = bounds[i], bounds[i + 1]
+            m, w, lo, hi = merge_digests(
+                list(zip(mc[s:e], wc[s:e], lo_c[s:e], hi_c[s:e])), delta
+            )
+            rows["means"].append(list(m))
+            rows["weights"].append(list(w))
+            rows["vmin"].append(lo)
+            rows["vmax"].append(hi)
+        return pd.DataFrame(rows)
 
-    return g.groupBy(*gcols).applyInPandas(fn, _digest_out_schema(g, keys))
+    return (
+        g.withColumn("_batch", batch)
+        .groupBy(*keys, "_batch")
+        .applyInPandas(fn, _digest_out_schema(g, keys))
+    )
 
 
 def tdigest_quantile(q: float) -> Column:

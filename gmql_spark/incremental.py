@@ -341,7 +341,7 @@ def refresh_tiers(
     tiers: Sequence[str] = ("1m", "1h", "1d"),
     key: str = "conv_id",
     ts: str = "ts",
-    with_sketches: bool | None = None,
+    with_sketches: bool | str | None = None,
 ) -> dict:
     """Recompute the tier rows of ``dates`` only (partition-pruned raw
     read + dynamic partition overwrite of the matching tier dates).
@@ -367,8 +367,9 @@ def refresh_tiers(
         path = f"{out_dir}/rollup_{tier}"
         if os.path.exists(path):
             try:
+                cols = spark.read.parquet(path).columns
                 existing_modes[tier] = (
-                    "lat_hist" in spark.read.parquet(path).columns
+                    "digest" if "lat_digest" in cols else "lat_hist" in cols
                 )
             except Exception:
                 pass  # unreadable/empty dir: treat as absent
@@ -379,7 +380,8 @@ def refresh_tiers(
         )
     existing = next(iter(set(existing_modes.values())), None)
     if with_sketches is None:
-        with_sketches = bool(existing)
+        # adopt verbatim: "digest" must stay "digest", not collapse to True
+        with_sketches = existing if existing is not None else False
     elif existing is not None and existing != with_sketches:
         raise ValueError(
             f"refresh with with_sketches={with_sketches} but the existing tier "

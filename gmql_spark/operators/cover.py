@@ -543,6 +543,18 @@ def summits(
     island dedup — first segment of each equal-acc plateau wins)."""
     acc = accumulation(df, keys=keys, start_ts=start_ts, end_ts=end_ts,
                        sweep_bucket_s=sweep_bucket_s)
+    return _summits_from_acc(acc, keys=keys, sweep_bucket_s=sweep_bucket_s)
+
+
+def _summits_from_acc(
+    acc: DataFrame,
+    keys: Sequence[str] = (),
+    sweep_bucket_s: float = SWEEP_BUCKET_S,
+) -> DataFrame:
+    """Summit selection over an ALREADY-COMPUTED accumulation frame —
+    split out so a pipeline that needs both the step function and its
+    summits (e.g. the merged HISTOGRAM+SUMMIT gate) runs the sweep
+    once; the staged frames inside ``acc`` are shared by reference."""
     if keys:
         w = Window.partitionBy(*keys).orderBy("acc_start")
         nb = (

@@ -85,7 +85,7 @@ def rollup(
     role_values: Sequence[str] | None = DEFAULT_ROLES,
     tool_values: Sequence[str] | None = None,
     with_gaps: bool = True,
-    with_sketches: bool = False,
+    with_sketches: bool | str = False,
 ) -> DataFrame:
     """Direct rollup of raw transcripts to one retention tier.
 
@@ -100,7 +100,11 @@ def rollup(
     extraction) and ``tool_hll`` (HLL distinct-tool sketch). They let a
     coarser tier answer percentile/distinct questions from the finer
     tier alone — no raw re-scan, the expensive part of a tier build at
-    warehouse scale.
+    warehouse scale. ``with_sketches="digest"`` additionally stores
+    ``lat_digest`` (t-digest of gap_us, ``functions.tdigest``) — the
+    tighter-error mergeable percentile sketch (<1% cascaded vs the
+    histogram's 2×-of-bin-width); its serving accuracy is exact-gated
+    by the ``percentile_digest_ok`` board query.
 
     Category histograms: known value lists compile to count_if columns
     (whole-stage codegen); None -> two-level plan (hash count per
@@ -153,8 +157,9 @@ def rollup(
     main = main.join(pct, on=[key, "window_start"], how="left")
     sketch_cols: list[str] = []
     if with_sketches:
-        main = _join_sketches(main, df, tier, key=key, ts=ts)
-        sketch_cols = SKETCH_COLS
+        with_digest = with_sketches == "digest"
+        main = _join_sketches(main, df, tier, key=key, ts=ts, with_digest=with_digest)
+        sketch_cols = SKETCH_COLS + (["lat_digest"] if with_digest else [])
     return main.select(
         key,
         "window_start",
@@ -175,11 +180,13 @@ SKETCH_COLS = ["lat_hist", "tool_hll"]
 
 
 def _join_sketches(
-    main: DataFrame, raw_g: DataFrame, tier: str, key: str, ts: str
+    main: DataFrame, raw_g: DataFrame, tier: str, key: str, ts: str,
+    with_digest: bool = False,
 ) -> DataFrame:
-    """Attach lat_hist + tool_hll at (key, window_start) grain; all
-    joins are tier-sized, left, with empty-sketch backfill (a window can
-    have turns but no gaps/tools)."""
+    """Attach lat_hist + tool_hll (and optionally lat_digest) at
+    (key, window_start) grain; all joins are tier-sized, left, with
+    empty-sketch backfill (a window can have turns but no gaps/tools —
+    lat_digest stays NULL there, like tool_hll)."""
     from gmql_spark.functions.sketches import hist_rollup, hll_rollup
 
     empty_hist = F.expr("cast(map() as map<int,bigint>)")
@@ -189,11 +196,23 @@ def _join_sketches(
     hll = hll_rollup(raw_g, tier, col="tool", keys=[key], ts=ts, out="tool_hll").drop(
         "window_end"
     )
-    return (
+    out = (
         main.join(hist, on=[key, "window_start"], how="left")
         .join(hll, on=[key, "window_start"], how="left")
         .withColumn("lat_hist", F.coalesce(F.col("lat_hist"), empty_hist))
     )
+    if with_digest:
+        from gmql_spark.functions.tdigest import tdigest_rollup
+
+        dig = tdigest_rollup(
+            raw_g, tier, keys=[key], value_col="gap_us", ts=ts
+        ).select(
+            key,
+            "window_start",
+            F.struct("means", "weights", "vmin", "vmax").alias("lat_digest"),
+        )
+        out = out.join(dig, on=[key, "window_start"], how="left")
+    return out
 
 
 def two_level_counts(
@@ -285,7 +304,20 @@ def cascade_rollup(finer: DataFrame, tier: str, key: str = "conv_id") -> DataFra
             .join(hll, on=[key, "window_start"], how="left")
             .withColumn("lat_hist", F.coalesce(F.col("lat_hist"), empty_hist))
         )
-        sketch_cols = SKETCH_COLS
+        sketch_cols = list(SKETCH_COLS)
+    if "lat_digest" in finer.columns:
+        from gmql_spark.functions.tdigest import tdigest_cascade
+
+        dsrc = finer.filter(F.col("lat_digest").isNotNull()).select(
+            key, "window_start", "lat_digest.*"
+        )
+        dig = tdigest_cascade(dsrc, tier, keys=[key]).select(
+            key,
+            "window_start",
+            F.struct("means", "weights", "vmin", "vmax").alias("lat_digest"),
+        )
+        out = out.join(dig, on=[key, "window_start"], how="left")
+        sketch_cols = sketch_cols + ["lat_digest"]
     return out.select(
         key,
         "window_start",
@@ -436,7 +468,7 @@ def rollup_tier_from(
     merged = cascade_rollup(finer, tier, key=key)
     pct = percentiles_for_tier(raw, tier, key=key, ts=ts, with_gaps=with_gaps)
     out = merged.join(pct, on=[key, "window_start"], how="left")
-    sketch_cols = [c for c in SKETCH_COLS if c in merged.columns]
+    sketch_cols = [c for c in (*SKETCH_COLS, "lat_digest") if c in merged.columns]
     return out.select(
         key,
         "window_start",
@@ -463,7 +495,7 @@ def rollup_all_tiers(
     cache_gaps: bool = False,
     persist_tiers: bool = False,
     return_gaps: bool = False,
-    with_sketches: bool = False,
+    with_sketches: bool | str = False,
 ):
     """The retention cascade raw → 1m → 1h → 1d. Gap column is computed
     once; the raw-with-gaps frame feeds the 1m rollup and each tier's

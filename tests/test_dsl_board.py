@@ -18,6 +18,10 @@ Not twinned (and why):
 - ``ann_topk``'s ivf half: its centroids are a numpy PCG64 literal in
   the gate; the trained path is twinned via ``ivf_trained`` (TRAIN +
   IVF statements). The lsh half IS twinned.
+- ``percentile_digest_ok``: an accuracy-contract gate — its output is
+  a boolean comparison between the t-digest serving path and exact
+  percentiles, parameterized by rank-band literals; the digest build/
+  merge itself is an Arrow grouped-map, not a statement-level operator.
 
 Tag-union gates (asof_join, sessions, rollup_windows, dedup_components,
 gapfill, rollup variants): the script computes every variant frame; the
@@ -384,15 +388,17 @@ _IV = """
 
 
 @case
-def twin_summits(spark, T):
-    m = _mat(spark, T, _IV + "S = SUMMIT() IV; MATERIALIZE S;")
-    return m["S"]
-
-
-@case
 def twin_cover_accumulation(spark, T):
-    m = _mat(spark, T, _IV + "H = HISTOGRAM() IV; MATERIALIZE H;")
-    return m["H"]
+    # r7 board merge: HISTOGRAM + SUMMIT tag union (shared sweep in the
+    # gate; the script computes both variant frames)
+    m = _mat(spark, T, _IV + """
+        H = HISTOGRAM() IV;
+        S = SUMMIT() IV;
+        MATERIALIZE H; MATERIALIZE S;
+    """)
+    return m["H"].select(F.lit("hist").alias("variant"), "*").unionByName(
+        m["S"].select(F.lit("summit").alias("variant"), "*")
+    )
 
 
 @case
@@ -673,7 +679,8 @@ def test_board_coverage_documented():
     """Every queries() gate is either twinned above or named in the
     module docstring's not-twinned list with a reason."""
     skipped = {"stream_rollup", "realtime_rollup", "range_stitch",
-               "multimodal_features", "image_decode"}
+               "multimodal_features", "image_decode",
+               "percentile_digest_ok"}
     twinned = {_GATE_FOR.get(n, n) for n in CASES}
     board = set(entry.queries())
     assert twinned | skipped == board, (

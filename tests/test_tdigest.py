@@ -180,3 +180,43 @@ def test_spark_cascade_equals_numpy_merge(spark, gaps):
     assert np.array_equal(np.asarray(row.means), merged[0])
     assert np.array_equal(np.asarray(row.weights), merged[1])
     assert (row.vmin, row.vmax) == (merged[2], merged[3])
+
+
+def test_tier_tables_carry_digest_columns(spark):
+    """with_sketches="digest" wires lat_digest into every tier table and
+    the cascade merges it without re-touching raw: each tier's packed
+    struct must be BIT-IDENTICAL to the direct tdigest build/cascade
+    over the same gap stream (order-insensitive compression makes this
+    exact, not approximate)."""
+    from gmql_spark.operators.rollup import rollup_all_tiers
+
+    raw = datagen.transcripts_spark(spark, n_conv=40)
+    tiers = rollup_all_tiers(raw, with_sketches="digest", cache_gaps=True)
+    g = with_gap_seconds(raw)
+    want = {"1m": tdigest_rollup(g, "1m")}
+    want["1h"] = tdigest_cascade(want["1m"], "1h")
+    want["1d"] = tdigest_cascade(want["1h"], "1d")
+    for t, df in tiers.items():
+        assert "lat_digest" in df.columns, t
+        got = (
+            df.filter(F.col("lat_digest").isNotNull())
+            .select("conv_id", "window_start", "lat_digest.*")
+            .toPandas()
+            .sort_values(["conv_id", "window_start"])
+            .reset_index(drop=True)
+        )
+        exp = (
+            want[t]
+            .drop("window_end")
+            .toPandas()
+            .sort_values(["conv_id", "window_start"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(exp) > 0, t
+        assert (got["conv_id"] == exp["conv_id"]).all(), t
+        assert (got["window_start"] == exp["window_start"]).all(), t
+        for c in ("vmin", "vmax"):
+            assert (got[c] == exp[c]).all(), (t, c)
+        for c in ("means", "weights"):
+            for a, b in zip(got[c], exp[c]):
+                assert np.array_equal(np.asarray(a), np.asarray(b)), (t, c)

@@ -22,6 +22,14 @@ passed, and any window past the boundary that exists in the data at
 all is absent from the emitted set — the two sides partition the
 window axis on the boundary.
 
+``run_rollup_multi_batch`` is the deliberately HARD variant: an
+N-file, one-file-per-micro-batch drain where the watermark advances
+between batches, so genuinely late rows in later files get dropped by
+the engine — with the drop set a predictable pure function of the
+staged data (per-batch watermark trail returned to the caller), so the
+exactness accounting emitted ∪ recomputed-tail ∪ dropped = batch
+answer can be asserted instead of assumed.
+
 The reference has no streaming layer at all (spark-streaming is a
 declared-but-unused dependency, GMQL-Spark/pom.xml); this is
 beyond-parity surface.
@@ -126,3 +134,116 @@ def run_rollup_to_table(
     emitted = spark.read.schema(out_schema).parquet(out_dir)
     boundary = emitted.agg(F.max("window_end")).first()[0]
     return emitted, boundary
+
+
+def stage_files_ordered(files: Sequence[DataFrame], src_dir: str) -> None:
+    """Stage each frame as ONE parquet file with strictly increasing
+    modification times, so ``FileStreamSource`` (which orders new files
+    by mtime) ingests them in list order — one micro-batch per file
+    under ``maxFilesPerTrigger=1``."""
+    import time as _time
+
+    now = _time.time()
+    seen: set[str] = set()
+    for i, f in enumerate(files):
+        f.coalesce(1).write.mode("append").parquet(src_dir)
+        parts = {p for p in os.listdir(src_dir) if p.endswith(".parquet")}
+        new = parts - seen
+        assert len(new) == 1, f"expected one staged file, got {sorted(new)}"
+        seen = parts
+        t = now + 100_000 + i
+        os.utime(os.path.join(src_dir, next(iter(new))), (t, t))
+
+
+def run_rollup_multi_batch(
+    spark: SparkSession,
+    files: Sequence[DataFrame],
+    work_dir: str,
+    duration: str,
+    aggs: Sequence[Column],
+    keys: Sequence[str] = (),
+    ts: str = "ts",
+    watermark: str = "10 minutes",
+    timeout_s: float = 600.0,
+) -> tuple[DataFrame, object, list]:
+    """The HARD streaming case ``run_rollup_to_table`` deliberately
+    avoids: a multi-batch drain (``maxFilesPerTrigger=1``) where later
+    files may carry rows whose windows the advancing watermark has
+    ALREADY closed — those rows are dropped by the engine, and this
+    harness makes the drop set predictable instead of silent.
+
+    ``files`` are staged as one parquet file each, with strictly
+    increasing modification times so ``FileStreamSource`` ingests them
+    in list order, one micro-batch per file. The watermark reported for
+    batch k is ``max(ts over batches < k) − delay``, and — verified
+    empirically on this Spark version, for both windowed aggregation
+    and applyInPandasWithState — the LATE-DATA FILTER of batch k uses
+    the PREVIOUS batch's watermark: a row in file i is dropped iff its
+    event-time predicate (window end for window aggs, ts for stateful
+    ops) falls at or below ``watermark(batch i−1)``. A late row whose
+    window the CURRENT batch's watermark closes still merges before
+    emission. That makes the drop set a pure function of the staged
+    data that the caller can compute up front (see
+    ``tests/test_materialize_stream.py``, which asserts emitted ∪
+    recomputed-tail over the NON-dropped rows equals the batch answer
+    with the dropped set exactly accounted).
+
+    Returns ``(emitted, boundary, watermarks)`` — the emitted table,
+    its max ``window_end``, and the per-batch watermark trail read back
+    from the query progress (event-time ``watermark`` BEFORE each
+    file's batch ran, one entry per file, as naive UTC datetimes;
+    entry 0 is the epoch)."""
+    import datetime as _dt
+    import json
+
+    shutil.rmtree(work_dir, ignore_errors=True)
+    src_dir = os.path.join(work_dir, "src")
+    out_dir = os.path.join(work_dir, "out")
+    ckpt_dir = os.path.join(work_dir, "ckpt")
+    os.makedirs(out_dir, exist_ok=True)
+    schema = files[0].schema
+    stage_files_ordered(files, src_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    agg = stream_window_rollup(
+        stream, duration, aggs=aggs, keys=keys, ts=ts, watermark=watermark
+    )
+    out_schema = agg.schema
+
+    q = (
+        agg.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt_dir)
+        .foreachBatch(lambda b, _id: b.write.mode("append").parquet(out_dir))
+        .start()
+    )
+    q.awaitTermination(int(timeout_s))
+    if q.isActive:  # pragma: no cover - drain overran the budget
+        q.stop()
+        raise TimeoutError(f"availableNow drain exceeded {timeout_s}s")
+
+    # watermark BEFORE each data batch, from the progress trail (the
+    # trailing no-data flush batch is excluded: it ingests nothing)
+    wms: list = []
+    for prog in q.recentProgress:
+        if not isinstance(prog, dict):
+            prog = json.loads(prog.json if hasattr(prog, "json") else str(prog))
+        if int(prog.get("numInputRows", 0)) == 0 and wms:
+            continue
+        wm = (prog.get("eventTime") or {}).get("watermark")
+        wms.append(
+            _dt.datetime.fromisoformat(wm.replace("Z", "+00:00")).replace(
+                tzinfo=None
+            )
+            if wm
+            else _dt.datetime(1970, 1, 1)
+        )
+    wms = wms[: len(files)]
+
+    emitted = spark.read.schema(out_schema).parquet(out_dir)
+    boundary = emitted.agg(F.max("window_end")).first()[0]
+    return emitted, boundary, wms

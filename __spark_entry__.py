@@ -815,17 +815,20 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode (multimodal.decode_bmp/decode_ppm/
-    jpeg.decode_jpeg — pure stdlib+numpy, no media libs): per document,
-    a deterministic test image is synthesized from sha256(text)
-    (multimodal.synth_image), encoded to BMP / binary PPM / baseline
-    JPEG by ``doc_id % 3``, then decoded back and reduced to exact
-    integer/digest stats (decode_stats). The JPEG images are
-    block-constant mosaics, which the codec's DC-step-8 quantizer
-    round-trips pixel-EXACTLY despite the lossy pipeline (jpeg.py
-    module doc). The oracle fixture (tools/make_image_fixture.py)
+    jpeg.decode_jpeg/png.decode_png — pure stdlib+numpy, no media
+    libs): per document, a deterministic test image is synthesized from
+    sha256(text) (multimodal.synth_image), encoded to BMP / binary PPM
+    / baseline JPEG / PNG by ``doc_id % 4``, then decoded back via the
+    magic-byte dispatcher and reduced to exact integer/digest stats
+    (decode_stats). The JPEG images are block-constant mosaics, which
+    the codec's DC-step-8 quantizer round-trips pixel-EXACTLY despite
+    the lossy pipeline (jpeg.py module doc); BMP/PPM/PNG are lossless
+    and share one pixel synth (the PNG encoder cycles all five
+    scanline filters, so Sub/Up/Average/Paeth defilter paths are all
+    load-bearing here). The oracle fixture (tools/make_image_fixture.py)
     computes the same stats from the PIXELS alone — so any codec
     round-trip defect (row order, 4-byte padding, BGR/RGB, Huffman /
-    IDCT / restart-marker bugs) breaks the md5 match."""
+    IDCT / restart-marker / zlib-filter bugs) breaks the md5 match."""
     import pandas as _pd
 
     from gmql_spark.operators.multimodal import decode_stats, synth_image
@@ -836,7 +839,7 @@ def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, text in zip(pdf["doc_id"], pdf["text"]):
-                fmt = ("bmp", "ppm", "jpeg")[mid % 3]
+                fmt = ("bmp", "ppm", "jpeg", "png")[mid % 4]
                 _, payload = synth_image(text.encode("utf-8"), fmt)
                 rows.append((mid, payload))
             yield _pd.DataFrame(rows, columns=["media_id", "payload"])
@@ -1974,16 +1977,17 @@ def oracle_sql() -> dict[str, str]:
         # stats computed from the synthesized PIXELS outside Spark
         # (tools/make_image_fixture.py) — the engine path goes
         # pixels -> encode -> decode, so the join checks the round trip.
-        # doc_id % 3 picks the format (bmp/ppm RGB share pixels; jpeg is
+        # doc_id % 4 picks the format (bmp/ppm/png share one RGB pixel
+        # synth, so the fixture's rgb stats cover all three; jpeg is
         # the gray block-constant mosaic — exact through the lossy
         # codec by the DC-step-8 construction, jpeg.py module doc)
         "image_decode": f"""
             SELECT d.doc_id AS media_id,
-                   CASE WHEN d.doc_id % 3 = 2 THEN f.jwidth ELSE f.width END AS width,
-                   CASE WHEN d.doc_id % 3 = 2 THEN f.jheight ELSE f.height END AS height,
-                   CASE WHEN d.doc_id % 3 = 2 THEN f.jchannels ELSE f.channels END AS channels,
-                   CASE WHEN d.doc_id % 3 = 2 THEN f.jpx_sum ELSE f.px_sum END AS px_sum,
-                   CASE WHEN d.doc_id % 3 = 2 THEN f.jpx_md5 ELSE f.px_md5 END AS px_md5
+                   CASE WHEN d.doc_id % 4 = 2 THEN f.jwidth ELSE f.width END AS width,
+                   CASE WHEN d.doc_id % 4 = 2 THEN f.jheight ELSE f.height END AS height,
+                   CASE WHEN d.doc_id % 4 = 2 THEN f.jchannels ELSE f.channels END AS channels,
+                   CASE WHEN d.doc_id % 4 = 2 THEN f.jpx_sum ELSE f.px_sum END AS px_sum,
+                   CASE WHEN d.doc_id % 4 = 2 THEN f.jpx_md5 ELSE f.px_md5 END AS px_md5
             FROM documents d
             JOIN parquet_scan('{_REPO_DIR}/tests/fixtures/image_decode.parquet') f
               ON md5(d.text) = f.text_md5

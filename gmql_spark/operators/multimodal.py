@@ -134,6 +134,63 @@ def encode_bmp(arr: np.ndarray) -> bytes:
     return file_hdr + info_hdr + data
 
 
+def decode_wav(payload: bytes) -> np.ndarray:
+    """RIFF/WAVE PCM decode -> int16 samples, shape (n,) mono or
+    (n, channels). Supports PCM (format 1) at 8 or 16 bits; 8-bit
+    samples (stored unsigned, 0..255) are recentred to int16 around 0
+    so downstream stats see signed PCM either way. Malformed payloads
+    raise ValueError (quarantine contract)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError("truncated WAV chunk")
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV without fmt/data chunk")
+    audio_fmt, n_ch, _rate, _byte_rate, _align, bits = fmt
+    if audio_fmt != 1:
+        raise ValueError(f"unsupported WAV format {audio_fmt} (only PCM)")
+    if n_ch < 1:
+        raise ValueError("bad WAV channel count")
+    if bits == 16:
+        pcm = np.frombuffer(data[: len(data) - len(data) % (2 * n_ch)], dtype="<i2")
+        pcm = pcm.astype(np.int16)
+    elif bits == 8:
+        pcm = (
+            np.frombuffer(data[: len(data) - len(data) % n_ch], dtype=np.uint8)
+            .astype(np.int16)
+            - 128
+        )
+    else:
+        raise ValueError(f"unsupported WAV bit depth {bits}")
+    return pcm if n_ch == 1 else pcm.reshape(-1, n_ch)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """int16 samples, (n,) or (n, channels) -> RIFF/WAVE PCM16 bytes."""
+    arr = np.asarray(samples, dtype="<i2")
+    n_ch = 1 if arr.ndim == 1 else arr.shape[1]
+    data = arr.tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_ch, sample_rate, sample_rate * n_ch * 2, n_ch * 2, 16
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Real image decode for the formats parseable without media libs
     (BMP, binary PPM/PGM, baseline JPEG), dispatched on the magic
@@ -146,8 +203,12 @@ def decode_image(payload: bytes) -> np.ndarray:
         from gmql_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from gmql_spark.operators.png import decode_png
+
+        return decode_png(payload)
     raise NotImplementedError(
-        "only BMP, binary PPM/PGM and baseline JPEG decode without media libs"
+        "only BMP, binary PPM/PGM, baseline JPEG and PNG decode without media libs"
     )
 
 
@@ -157,6 +218,8 @@ def decode_any(payload: bytes) -> np.ndarray:
     RECOGNIZED-but-malformed image still raises (ValueError) — corrupt
     data must not silently degrade to stub features."""
     b = bytes(payload)
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        return decode_wav(b)
     try:
         return decode_image(b)
     except NotImplementedError:
@@ -238,7 +301,9 @@ def synth_image(seed_bytes: bytes, fmt: str) -> tuple[np.ndarray, bytes]:
     stats from the PIXELS while the engine path goes
     pixels -> encode -> decode — exercising the full codec round trip.
 
-    ``bmp``/``ppm`` (lossless codecs): random RGB, dims 3..15 x 2..12.
+    ``bmp``/``ppm``/``png`` (lossless codecs — identical pixels per
+    seed, so ONE pixels-only oracle covers all three): random RGB, dims
+    3..15 x 2..12; the PNG encoder cycles all five scanline filters.
     ``jpeg``: random GRAY 8×8-tile-constant mosaic, dims up to 40×32 —
     with the codec's DC quantization step of 8, block-constant images
     round-trip pixel-EXACTLY through the lossy pipeline (see
@@ -252,6 +317,10 @@ def synth_image(seed_bytes: bytes, fmt: str) -> tuple[np.ndarray, bytes]:
     rng = np.random.Generator(np.random.PCG64(int.from_bytes(h8[:8], "little")))
     w, h = 3 + h8[8] % 13, 2 + h8[9] % 11
     px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    if fmt == "png":
+        from gmql_spark.operators.png import encode_png
+
+        return px, encode_png(px)
     return px, (encode_bmp(px) if fmt == "bmp" else encode_ppm(px))
 
 

@@ -2,7 +2,8 @@
 
 The gate synthesizes a deterministic test image per document
 (``multimodal.synth_image``: sha256(text)-seeded PCG64 pixels), encodes
-it to BMP or PPM, decodes it back with the REAL pure-numpy codecs, and
+it to BMP / PPM / JPEG / PNG (doc_id % 4 — the lossless trio share one
+pixel synth), decodes it back with the REAL pure-numpy codecs, and
 emits exact integer/digest stats. This script computes the same stats
 from the PIXELS alone — no encode, no decode — keyed by md5(text), so
 the gate's value match proves the codec round trip (the expected side

@@ -49,6 +49,10 @@ CORRECTNESS gates' frames exactly):
                  SEMIJOIN PURGE JOINBY
 - windows/tiers: ROLLUP CASCADE WINDOW REWINDOW GAPFILL GAPS
                  PERCENTILES HIST SESSIONIZE PROFILE
+- serving:       SERVE (realtime routing over in-script tier+raw frames)
+                 STITCH <frame> (range stitch over derived tiers)
+                 STREAM (real availableNow drain + batch tail union;
+                 eager, side-effecting — needs a dir: scratch param)
 - range algebra: DIFFERENCE ASOF NEAREST CONDJOIN JOIN COVER HISTOGRAM
                  SUMMIT FLAT JACCARD MAP
 - text/dedup:    DEDUP(exact|minhash|ngram|simhash) COMPONENTS
@@ -874,6 +878,153 @@ def _op_rewindow(dfs, st):
     return cascade(dfs[0], st.params.get("size", "1 hour"), aggs=aggs, keys=keys)
 
 
+_SERVE_RESERVED = ("frozen", "tier", "key", "ts")
+_STITCH_RESERVED = ("start", "end", "key", "ts")
+_STREAM_RESERVED = ("size", "watermark", "key", "ts", "dir")
+
+
+def _op_serve(dfs, st):
+    """SERVE — the real-time continuous-aggregate routing
+    (realtime.serve_realtime) over IN-SCRIPT frames: closed windows
+    from the first input (the tier frame), everything past the frozen
+    watermark recomputed from the second input (raw) with the given
+    aggregates::
+
+        S = SERVE(frozen: '2024-01-21T00:30:00', tier: '1h',
+                  key: ['user_id'], n: 'count(1)') T E;
+
+    Reserved params: frozen (ISO datetime, required) / tier / key / ts;
+    every other param is a named aggregate SQL expression for the raw
+    recompute, which is projected to the tier frame's exact columns.
+    The path-bound twin over materialized warehouse tables is the
+    REALTIME statement."""
+    import datetime as _dt
+
+    from gmql_spark.operators.rollup import TIER_DURATION
+    from gmql_spark.operators.window_agg import window_rollup
+    from gmql_spark.realtime import serve_realtime
+
+    tier_df, raw = dfs
+    tier = st.params.get("tier", "1h")
+    keys = st.params.get("key", [])
+    keys = keys if isinstance(keys, list) else [keys]
+    ts = st.params.get("ts", "ts")
+    aggs = _agg_exprs(st, _SERVE_RESERVED)
+    if not aggs:
+        raise GSLError(f"line {st.pos}: SERVE needs aggregate expressions")
+    if "frozen" not in st.params:
+        raise GSLError(f"line {st.pos}: SERVE needs frozen: '<ISO datetime>'")
+    frozen = _dt.datetime.fromisoformat(str(st.params["frozen"]))
+
+    def recompute(tail):
+        return window_rollup(
+            tail, TIER_DURATION[tier], aggs=aggs, keys=keys, ts=ts
+        ).select(*tier_df.columns)
+
+    return serve_realtime(tier_df, raw, frozen, tier, recompute, ts=ts)
+
+
+def _op_stitch_range(dfs, st):
+    """STITCH over an in-script frame — arbitrary-range aggregate from
+    DERIVED tiers (realtime.derive_tier_frames + stitch_range: one
+    range-pruned scan, one checkpointed 1m aggregate, 1h/1d cascaded
+    from it, ≤7 segment branches)::
+
+        S = STITCH(start: '...', end: '...', key: ['user_id'],
+                   n: 'count(1)', merge_n: 'sum(n)') E;
+
+    Named params are the RAW aggregates; each needs a ``merge_<name>``
+    partner — the self-composable re-aggregation over tier rows (the
+    same raw/merge split as stitch_range). The path-bound form (STITCH
+    with fact:/tiers: paths, no input frame) is handled in
+    compile_script."""
+    import datetime as _dt
+
+    from gmql_spark.realtime import derive_tier_frames, stitch_range
+
+    keys = st.params.get("key", [])
+    keys = keys if isinstance(keys, list) else [keys]
+    ts = st.params.get("ts", "ts")
+    for p in ("start", "end"):
+        if p not in st.params:
+            raise GSLError(f"line {st.pos}: STITCH needs {p}: '<ISO datetime>'")
+    start = _dt.datetime.fromisoformat(str(st.params["start"]))
+    end = _dt.datetime.fromisoformat(str(st.params["end"]))
+    raw_aggs, merge_aggs = [], []
+    raw_names, merge_names = set(), set()
+    for k, v in st.params.items():
+        if k in _STITCH_RESERVED:
+            continue
+        if k.startswith("merge_"):
+            merge_aggs.append(F.expr(str(v)).alias(k[len("merge_"):]))
+            merge_names.add(k[len("merge_"):])
+        else:
+            raw_aggs.append(F.expr(str(v)).alias(k))
+            raw_names.add(k)
+    if not raw_aggs:
+        raise GSLError(f"line {st.pos}: STITCH needs aggregate expressions")
+    if raw_names != merge_names:
+        raise GSLError(
+            f"line {st.pos}: STITCH raw aggs {sorted(raw_names)} and merge_ "
+            f"aggs {sorted(merge_names)} must name the same columns"
+        )
+    raw_rng, tier_dfs = derive_tier_frames(
+        dfs[0], start, end, keys=keys, raw_aggs=raw_aggs, merge_aggs=merge_aggs,
+        ts=ts,
+    )
+    return stitch_range(
+        tier_dfs, raw_rng, start, end, keys=keys, raw_aggs=raw_aggs,
+        merge_aggs=merge_aggs, ts=ts,
+    )
+
+
+def _op_stream(dfs, st):
+    """STREAM — a REAL Structured Streaming drain as a statement
+    (streaming.materialize.run_rollup_to_table): the input frame is
+    staged, streamed back under availableNow with an event-time
+    watermark, the emitted (watermark-closed) windows flow through a
+    foreachBatch parquet sink, and the withheld tail past the emitted
+    boundary is recomputed batch-side — the same exact lambda split as
+    the ``stream_rollup`` gate. EAGER and side-effecting: the drain
+    runs when the statement is compiled, into the required ``dir:``
+    scratch directory (wiped on entry)::
+
+        S = STREAM(size: '1 minute', watermark: '10 minutes',
+                   key: ['user_id'], dir: '/tmp/gsl_stream',
+                   n: 'count(1)') E;
+    """
+    from gmql_spark.operators.window_agg import window_rollup
+    from gmql_spark.streaming.materialize import run_rollup_to_table
+
+    src = dfs[0]
+    keys = st.params.get("key", [])
+    keys = keys if isinstance(keys, list) else [keys]
+    ts = st.params.get("ts", "ts")
+    size = st.params.get("size", "1 minute")
+    aggs = _agg_exprs(st, _STREAM_RESERVED)
+    if not aggs:
+        raise GSLError(f"line {st.pos}: STREAM needs aggregate expressions")
+    if "dir" not in st.params:
+        raise GSLError(f"line {st.pos}: STREAM needs dir: '<scratch dir>'")
+    emitted, boundary = run_rollup_to_table(
+        src.sparkSession,
+        src,
+        str(st.params["dir"]),
+        size,
+        aggs=aggs,
+        keys=keys,
+        ts=ts,
+        watermark=st.params.get("watermark", "10 minutes"),
+    )
+    batch = window_rollup(src, size, aggs=aggs, keys=keys, ts=ts)
+    tail = (
+        batch.filter(F.col("window_end") > F.lit(boundary))
+        if boundary is not None
+        else batch  # nothing emitted: the whole answer is the tail
+    )
+    return emitted.select(*tail.columns).unionByName(tail)
+
+
 def _op_gaps(dfs, st):
     """GAPS — per-key inter-event gap column (rollup.with_gap_seconds:
     gap_s/gap_us since the previous row of the key, integer-us exact)."""
@@ -1060,6 +1211,10 @@ OPS: dict[str, tuple] = {
     "SAMPLE": (_op_sample, 1),
     "WINDOW": (_op_window, 1),
     "REWINDOW": (_op_rewindow, 1),
+    "SERVE": (_op_serve, 2),
+    "STITCH": (_op_stitch_range, 1),  # frame form; path-bound form is a
+    # compile_script special case (dispatch on st.inputs)
+    "STREAM": (_op_stream, 1),
     "GAPS": (_op_gaps, 1),
     "PERCENTILES": (_op_percentiles, 1),
     "HIST": (_op_hist, 1),
@@ -1161,8 +1316,11 @@ def compile_script(
                 ts=st.params.get("ts", "ts"),
             )
             continue
-        if st.op == "STITCH":
-            # arbitrary-range aggregate stitched from the coarsest tiers
+        if st.op == "STITCH" and not st.inputs:
+            # path-bound form: arbitrary-range transcript aggregate
+            # stitched from MATERIALIZED tier tables (the frame form —
+            # STITCH over an input symbol with derived tiers — routes
+            # through the generic op table, _op_stitch_range)
             import datetime as _dt
 
             from gmql_spark.realtime import stitch_transcripts

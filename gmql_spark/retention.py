@@ -137,6 +137,37 @@ def compact_partitions(
     return frag
 
 
+def compact_tier_tables(
+    spark,
+    out_dir: str,
+    tiers: tuple = ("1m", "1h", "1d"),
+    min_files: int = 2,
+) -> dict[str, int]:
+    """Compact the tier tables (``rollup_<tier>/window_date=D/*``) the
+    same way :func:`compact_fact_table` compacts raw. Every
+    ``refresh_tiers`` pass dynamic-overwrites its touched dates with up
+    to ``spark.sql.shuffle.partitions`` files per date — bounded per
+    refresh, but across many dates the scan task count still grows far
+    past one-file-per-partition. The staged-swap contract (stage →
+    rename aside → rename in, per leaf) is inherited from
+    :func:`compact_partitions`; serving results are unchanged because
+    only the file layout moves, never rows — pinned by
+    ``tests/test_skew_retention.py`` (hash-identical serving pre/post)
+    and the ``tier_compaction`` row in BENCH/sf1.json.
+
+    Returns {"rollup_<tier>/window_date=D": files_before}."""
+    out: dict[str, int] = {}
+    for t in tiers:
+        path = os.path.join(out_dir, f"rollup_{t}")
+        if not os.path.isdir(path):
+            continue
+        done = compact_partitions(
+            spark, path, partition_col="window_date", min_files=min_files
+        )
+        out.update({f"rollup_{t}/window_date={v}": n for v, n in done.items()})
+    return out
+
+
 def compact_fact_table(
     spark,
     fact_path: str,

@@ -5,13 +5,12 @@ and compared EXACTLY (same dtypes, same rows) against the gate's own
 ``queries()`` DataFrame at sf0.001 — the script surface must be pure
 sugar over the same Catalyst plans.
 
+Serving/streaming twins (new r7): ``realtime_rollup`` → SERVE,
+``range_stitch`` → frame-form STITCH, ``stream_rollup`` → STREAM (a
+real second availableNow drain — deterministic, so frame-exact).
+
 Not twinned (and why):
 
-- ``stream_rollup``: a real Structured Streaming run behind a
-  foreachBatch sink; GSL statements lower to single batch plans.
-- ``realtime_rollup`` / ``range_stitch``: serving paths parameterized
-  by frozen driver-side datetimes (watermark / range bounds), not
-  table-valued operators.
 - ``multimodal_features`` / ``image_decode``: the gates synthesize
   their binary payloads in mapInPandas closures; the statement-level
   multimodal surface is covered by the ``frame_samples`` twin.
@@ -387,6 +386,68 @@ _IV = """
 """
 
 
+# ------------------------------------------------------- serving paths
+
+
+@case
+def twin_realtime_rollup(spark, T):
+    # SERVE = realtime routing over in-script frames: tier (1m->1h
+    # cascade) + raw recompute past the frozen watermark — the gate's
+    # exact pipeline (realtime.serve_realtime under both)
+    m = _mat(spark, T, f"""
+        M = WINDOW(size: '1 minute', key: ['user_id'], n: 'count(1)',
+                   val_sum_dec: 'sum(cast(value as decimal(18,2)))',
+                   val_min: 'min(value)', val_max: 'max(value)') E;
+        H = REWINDOW(size: '1 hour', key: ['user_id'], n: 'sum(n)',
+                     val_sum_dec: 'sum(val_sum_dec)',
+                     val_min: 'min(val_min)', val_max: 'max(val_max)') M;
+        T1 = PROJECT(keep: ['user_id', 'window_start', 'window_end', 'n'],
+                     val_sum: 'cast(val_sum_dec as double)',
+                     val_min: 'val_min', val_max: 'val_max') H;
+        S = SERVE(frozen: '2024-01-21T00:30:00', tier: '1h',
+                  key: ['user_id'], n: 'count(1)', val_sum: '{DEC_SUM}',
+                  val_min: 'min(value)', val_max: 'max(value)') T1 E;
+        MATERIALIZE S;
+    """)
+    return m["S"]
+
+
+@case
+def twin_range_stitch(spark, T):
+    m = _mat(spark, T, """
+        S = STITCH(start: '2024-01-03T07:41:17', end: '2024-01-29T21:05:03',
+                   key: ['user_id'],
+                   n: 'count(1)',
+                   val_sum_dec: 'sum(cast(value as decimal(18,2)))',
+                   merge_n: 'sum(n)',
+                   merge_val_sum_dec: 'sum(val_sum_dec)') E;
+        O = PROJECT(keep: ['user_id', 'n'],
+                    val_sum: 'cast(val_sum_dec as double)') S;
+        MATERIALIZE O;
+    """)
+    return m["O"]
+
+
+@case
+def twin_stream_rollup(spark, T):
+    # a REAL second drain through the streaming engine: deterministic,
+    # so it reproduces the gate's emitted ∪ tail frame exactly
+    import os as _os
+    import tempfile as _tf
+
+    work = _os.path.join(
+        _tf.gettempdir(), "gmql_stream_gsl_twin", f"pid_{_os.getpid()}"
+    )
+    m = _mat(spark, T, f"""
+        P = PROJECT(keep: ['user_id', 'ts', 'value']) E;
+        S = STREAM(size: '1 minute', watermark: '10 minutes',
+                   key: ['user_id'], dir: '{work}',
+                   n: 'count(1)', val_sum: '{DEC_SUM}') P;
+        MATERIALIZE S;
+    """)
+    return m["S"]
+
+
 @case
 def twin_cover_accumulation(spark, T):
     # r7 board merge: HISTOGRAM + SUMMIT tag union (shared sweep in the
@@ -678,8 +739,7 @@ def test_board_gsl_round_trip(spark, tables, name):
 def test_board_coverage_documented():
     """Every queries() gate is either twinned above or named in the
     module docstring's not-twinned list with a reason."""
-    skipped = {"stream_rollup", "realtime_rollup", "range_stitch",
-               "multimodal_features", "image_decode",
+    skipped = {"multimodal_features", "image_decode",
                "percentile_digest_ok"}
     twinned = {_GATE_FOR.get(n, n) for n in CASES}
     board = set(entry.queries())

@@ -517,3 +517,80 @@ def test_compact_fact_table_dateless_layout(spark, tmp_path):
         rows_before[sorted(rows_before.columns)],
         rows_after[sorted(rows_after.columns)],
     )
+
+
+def test_compact_tier_tables_end_to_end(spark, tmp_path):
+    """Tier tables built by refresh_tiers fragment (each refresh writes
+    up to shuffle.partitions files per window_date); compact_tier_tables
+    bounds every leaf to one file, serving frames stay bit-identical,
+    and a later partial refresh works on the compacted layout."""
+    import os
+
+    from gmql_spark import datagen
+    from gmql_spark.incremental import append_transcripts, refresh_tiers
+    from gmql_spark.retention import compact_tier_tables
+
+    raw = datagen.transcripts_spark(spark, n_conv=25)
+    fact = str(tmp_path / "fact")
+    tiers_dir = str(tmp_path / "tiers")
+    dates = append_transcripts(spark, raw, fact, n_buckets=4)
+    refresh_tiers(spark, fact, tiers_dir, dates=sorted(dates))
+
+    # at this scale AQE coalesces each refresh write to one file per
+    # date; fragment the leaves explicitly (same rows, 4 files) — the
+    # organic many-files-per-refresh case is covered at scale by the
+    # churn row in tools/bench_sf1.py
+    import shutil
+
+    for t in ("1m", "1h", "1d"):
+        root = os.path.join(tiers_dir, f"rollup_{t}")
+        for d in list(os.listdir(root)):
+            if not d.startswith("window_date="):
+                continue
+            leaf = os.path.join(root, d)
+            tmp = str(tmp_path / "frag_tmp")
+            spark.read.parquet(leaf).repartition(4).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            shutil.rmtree(leaf)
+            shutil.move(tmp, leaf)
+
+    def leaf_files():
+        out = {}
+        for t in ("1m", "1h", "1d"):
+            root = os.path.join(tiers_dir, f"rollup_{t}")
+            for d in os.listdir(root):
+                if d.startswith("window_date="):
+                    out[f"{t}/{d}"] = sum(
+                        1
+                        for f in os.listdir(os.path.join(root, d))
+                        if f.endswith(".parquet")
+                    )
+        return out
+
+    def serving(t):
+        df = spark.read.parquet(os.path.join(tiers_dir, f"rollup_{t}"))
+        cols = sorted(df.columns)
+        return (
+            df.select(*cols)
+            .toPandas()
+            .sort_values(["conv_id", "window_start"])
+            .reset_index(drop=True)
+        )
+
+    before = leaf_files()
+    assert any(v > 1 for v in before.values()), "fixture never fragmented"
+    pre = {t: serving(t) for t in ("1m", "1h", "1d")}
+
+    done = compact_tier_tables(spark, tiers_dir, min_files=1)
+    assert set(done) == {f"rollup_{k.split('/')[0]}/{k.split('/')[1]}"
+                         for k, v in before.items() if v > 1}
+    after = leaf_files()
+    assert all(after[k] == 1 for k, v in before.items() if v > 1)
+    for t in ("1m", "1h", "1d"):
+        pd.testing.assert_frame_equal(serving(t), pre[t])
+
+    # partial refresh on the compacted layout: signatures unchanged
+    refresh_tiers(spark, fact, tiers_dir, dates=sorted(dates)[:1])
+    for t in ("1m", "1h", "1d"):
+        pd.testing.assert_frame_equal(serving(t), pre[t])

@@ -277,8 +277,8 @@ def test_image_codec_error_paths():
     images stay loud."""
     from gmql_spark.operators.multimodal import decode_any, decode_bmp, decode_image, decode_ppm
 
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG\r\n\x1a\nrest")  # real format, no codec lib
+    with pytest.raises(ValueError):
+        decode_image(b"\x89PNG\r\n\x1a\nrest")  # real codec (r7), broken body
     with pytest.raises(ValueError):
         decode_bmp(b"BMshort")  # truncated header
     with pytest.raises(ValueError):

@@ -1780,8 +1780,8 @@ def oracle_sql() -> dict[str, str]:
         # percentile digest serving: the oracle pins the ACCURACY
         # CONTRACT, not the estimates — the grid must exist with every
         # bound satisfied, so it emits the same (grp, day) grid with
-        # TRUE literals; any digest drifting past 5%-of-range flips a
-        # boolean and hash-fails the gate
+        # TRUE literals; any digest estimate leaving the exact
+        # [q-0.02, q+0.02] RANK band flips a boolean and hash-fails
         "percentile_digest_ok": """
             SELECT CAST(user_id % 4 AS BIGINT) AS grp,
                    date_trunc('day', ts) AS window_start,

@@ -59,9 +59,8 @@ def _loadavg() -> list[float] | None:
     the load with the numbers lets a later reader separate code movement
     from box movement instead of guessing."""
     try:
-        with open("/proc/loadavg") as f:
-            return [float(x) for x in f.read().split()[:3]]
-    except (OSError, ValueError):
+        return list(os.getloadavg())
+    except OSError:
         return None
 
 

@@ -150,6 +150,8 @@ def decode_wav(payload: bytes) -> np.ndarray:
         if len(body) != size:
             raise ValueError("truncated WAV chunk")
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated WAV fmt chunk")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
             data = body

@@ -54,6 +54,8 @@ def decode_png(payload: bytes) -> np.ndarray:
         if len(data) != length:
             raise ValueError("truncated PNG chunk")
         if ctype == b"IHDR":
+            if length != 13:
+                raise ValueError(f"bad PNG IHDR length {length}")
             ihdr = struct.unpack(">IIBBBBB", data)
         elif ctype == b"IDAT":
             idat.extend(data)

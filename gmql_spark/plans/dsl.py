@@ -1006,10 +1006,24 @@ def _op_stream(dfs, st):
         raise GSLError(f"line {st.pos}: STREAM needs aggregate expressions")
     if "dir" not in st.params:
         raise GSLError(f"line {st.pos}: STREAM needs dir: '<scratch dir>'")
+    # the drain WIPES dir: on entry — refuse anything that doesn't look
+    # like an empty/fresh dir or a previous STREAM scratch layout, so a
+    # typo'd data path can never be rmtree'd by a script statement
+    work = str(st.params["dir"])
+    import os as _os
+
+    if _os.path.exists(work):
+        entries = set(_os.listdir(work))
+        if entries and not entries <= {"src", "out", "ckpt"}:
+            raise GSLError(
+                f"line {st.pos}: STREAM dir: {work!r} exists and does not "
+                f"look like a previous STREAM scratch dir (contains "
+                f"{sorted(entries)[:5]}); refusing to wipe it"
+            )
     emitted, boundary = run_rollup_to_table(
         src.sparkSession,
         src,
-        str(st.params["dir"]),
+        work,
         size,
         aggs=aggs,
         keys=keys,

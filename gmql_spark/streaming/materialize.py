@@ -37,6 +37,8 @@ beyond-parity surface.
 
 from __future__ import annotations
 
+import datetime as _dt
+import json
 import os
 import shutil
 from collections.abc import Sequence
@@ -77,6 +79,73 @@ def stream_window_rollup(
     )
 
 
+def _run_drain(
+    spark: SparkSession,
+    stream: DataFrame,
+    duration: str,
+    aggs: Sequence[Column],
+    keys: Sequence[str],
+    ts: str,
+    watermark: str,
+    out_dir: str,
+    ckpt_dir: str,
+    timeout_s: float,
+):
+    """Shared drain core: availableNow stateful agg → foreachBatch
+    parquet sink → (emitted frame, boundary, finished query)."""
+    agg = stream_window_rollup(
+        stream, duration, aggs=aggs, keys=keys, ts=ts, watermark=watermark
+    )
+    out_schema = agg.schema
+    q = (
+        agg.writeStream.outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt_dir)
+        .foreachBatch(lambda b, _id: b.write.mode("append").parquet(out_dir))
+        .start()
+    )
+    q.awaitTermination(int(timeout_s))
+    if q.isActive:  # pragma: no cover - drain overran the budget
+        q.stop()
+        raise TimeoutError(f"availableNow drain exceeded {timeout_s}s")
+    emitted = spark.read.schema(out_schema).parquet(out_dir)
+    boundary = emitted.agg(F.max("window_end")).first()[0]
+    return emitted, boundary, q
+
+
+def watermark_trail(query, n_batches: int) -> list:
+    """Event-time watermark at the START of each of the first
+    ``n_batches`` batches, from the finished query's progress, as naive
+    UTC datetimes (epoch where unset). Batches are taken positionally —
+    batch k of a ``maxFilesPerTrigger=1`` drain is staged file k, so
+    the trail stays aligned even if a staged file is empty. Raises if
+    the progress buffer holds fewer than ``n_batches`` entries (e.g.
+    past ``spark.sql.streaming.numRecentProgressUpdates``) — a silent
+    truncation would misalign every downstream drop prediction."""
+    progs = []
+    for prog in query.recentProgress:
+        if not isinstance(prog, dict):
+            prog = json.loads(prog.json if hasattr(prog, "json") else str(prog))
+        progs.append(prog)
+    if len(progs) < n_batches:
+        raise RuntimeError(
+            f"watermark trail incomplete: {len(progs)} progress entries for "
+            f"{n_batches} staged files — raise "
+            "spark.sql.streaming.numRecentProgressUpdates or stage fewer files"
+        )
+    out = []
+    for prog in progs[:n_batches]:
+        wm = (prog.get("eventTime") or {}).get("watermark")
+        out.append(
+            _dt.datetime.fromisoformat(wm.replace("Z", "+00:00")).replace(
+                tzinfo=None
+            )
+            if wm
+            else _dt.datetime(1970, 1, 1)
+        )
+    return out
+
+
 def run_rollup_to_table(
     spark: SparkSession,
     source: DataFrame,
@@ -114,25 +183,10 @@ def run_rollup_to_table(
 
     staged = spark.read.parquet(src_dir)
     stream = spark.readStream.schema(staged.schema).parquet(src_dir)
-    agg = stream_window_rollup(
-        stream, duration, aggs=aggs, keys=keys, ts=ts, watermark=watermark
+    emitted, boundary, _q = _run_drain(
+        spark, stream, duration, aggs, keys, ts, watermark,
+        out_dir, ckpt_dir, timeout_s,
     )
-    out_schema = agg.schema
-
-    q = (
-        agg.writeStream.outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ckpt_dir)
-        .foreachBatch(lambda b, _id: b.write.mode("append").parquet(out_dir))
-        .start()
-    )
-    q.awaitTermination(int(timeout_s))
-    if q.isActive:  # pragma: no cover - drain overran the budget
-        q.stop()
-        raise TimeoutError(f"availableNow drain exceeded {timeout_s}s")
-
-    emitted = spark.read.schema(out_schema).parquet(out_dir)
-    boundary = emitted.agg(F.max("window_end")).first()[0]
     return emitted, boundary
 
 
@@ -189,13 +243,9 @@ def run_rollup_multi_batch(
     with the dropped set exactly accounted).
 
     Returns ``(emitted, boundary, watermarks)`` — the emitted table,
-    its max ``window_end``, and the per-batch watermark trail read back
-    from the query progress (event-time ``watermark`` BEFORE each
-    file's batch ran, one entry per file, as naive UTC datetimes;
-    entry 0 is the epoch)."""
-    import datetime as _dt
-    import json
-
+    its max ``window_end``, and the per-batch watermark trail
+    (:func:`watermark_trail`: one entry per file, positionally aligned
+    even when a staged file is empty; entry 0 is the epoch)."""
     shutil.rmtree(work_dir, ignore_errors=True)
     src_dir = os.path.join(work_dir, "src")
     out_dir = os.path.join(work_dir, "out")
@@ -209,41 +259,8 @@ def run_rollup_multi_batch(
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
     )
-    agg = stream_window_rollup(
-        stream, duration, aggs=aggs, keys=keys, ts=ts, watermark=watermark
+    emitted, boundary, q = _run_drain(
+        spark, stream, duration, aggs, keys, ts, watermark,
+        out_dir, ckpt_dir, timeout_s,
     )
-    out_schema = agg.schema
-
-    q = (
-        agg.writeStream.outputMode("append")
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ckpt_dir)
-        .foreachBatch(lambda b, _id: b.write.mode("append").parquet(out_dir))
-        .start()
-    )
-    q.awaitTermination(int(timeout_s))
-    if q.isActive:  # pragma: no cover - drain overran the budget
-        q.stop()
-        raise TimeoutError(f"availableNow drain exceeded {timeout_s}s")
-
-    # watermark BEFORE each data batch, from the progress trail (the
-    # trailing no-data flush batch is excluded: it ingests nothing)
-    wms: list = []
-    for prog in q.recentProgress:
-        if not isinstance(prog, dict):
-            prog = json.loads(prog.json if hasattr(prog, "json") else str(prog))
-        if int(prog.get("numInputRows", 0)) == 0 and wms:
-            continue
-        wm = (prog.get("eventTime") or {}).get("watermark")
-        wms.append(
-            _dt.datetime.fromisoformat(wm.replace("Z", "+00:00")).replace(
-                tzinfo=None
-            )
-            if wm
-            else _dt.datetime(1970, 1, 1)
-        )
-    wms = wms[: len(files)]
-
-    emitted = spark.read.schema(out_schema).parquet(out_dir)
-    boundary = emitted.agg(F.max("window_end")).first()[0]
-    return emitted, boundary, wms
+    return emitted, boundary, watermark_trail(q, len(files))

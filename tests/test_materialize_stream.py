@@ -216,10 +216,12 @@ def test_sessionizer_multi_batch_late_rows_accounted(spark, tmp_path):
     closed sessions of the batch sessionize over the NON-dropped rows,
     with the dropped row's absence visible in the session's n_turns."""
     import datetime as dt
-    import json
 
     from gmql_spark.operators.session import sessionize
-    from gmql_spark.streaming.materialize import stage_files_ordered
+    from gmql_spark.streaming.materialize import (
+        stage_files_ordered,
+        watermark_trail,
+    )
     from gmql_spark.streaming.session_stream import stream_sessionize
 
     t0 = dt.datetime(2024, 3, 1)
@@ -257,19 +259,7 @@ def test_sessionizer_multi_batch_late_rows_accounted(spark, tmp_path):
     )
     q.awaitTermination(300)
 
-    wms = []
-    for prog in q.recentProgress:
-        if not isinstance(prog, dict):
-            prog = json.loads(prog.json if hasattr(prog, "json") else str(prog))
-        if int(prog.get("numInputRows", 0)) == 0 and wms:
-            continue
-        wm = (prog.get("eventTime") or {}).get("watermark")
-        wms.append(
-            dt.datetime.fromisoformat(wm.replace("Z", "+00:00")).replace(tzinfo=None)
-            if wm
-            else dt.datetime(1970, 1, 1)
-        )
-    wms = wms[: len(files)]
+    wms = watermark_trail(q, len(files))
     assert wms == [
         dt.datetime(1970, 1, 1),
         t0 + dt.timedelta(seconds=3600 - 600),

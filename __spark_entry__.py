@@ -148,8 +148,12 @@ def q_percentile_digest_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
         tdigest_rollup,
     )
 
+    # NaN excluded on BOTH sides (tdigest_rollup drops NaN internally;
+    # the exact band and the oracle grid must see the same population)
     ev = _read(spark, sf_dir, "events").filter(
-        F.col("ts").isNotNull() & F.col("value").isNotNull()
+        F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & ~F.isnan("value")
     )
     src = ev.select(
         F.pmod(F.col("user_id"), F.lit(4)).cast("long").alias("grp"),
@@ -1787,7 +1791,7 @@ def oracle_sql() -> dict[str, str]:
                    date_trunc('day', ts) AS window_start,
                    TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
             FROM events
-            WHERE ts IS NOT NULL AND value IS NOT NULL
+            WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)
             GROUP BY 1, 2
         """,
         "dedup_exact": """

@@ -161,6 +161,16 @@ def _digest_out_schema(df: DataFrame, keys: Sequence[str]) -> str:
 _BATCH_S = 86400
 
 
+def _window_slices(ws: np.ndarray):
+    """Boundaries of equal-``window_start`` runs in an already-sorted
+    array: (first-index array, bounds array with the trailing length).
+    The shared skeleton of the vectorized rollup/cascade batch
+    functions: one sort per batch, one slice per window, no pandas
+    groupby."""
+    uniq_idx = np.flatnonzero(np.r_[True, ws[1:] != ws[:-1]])
+    return uniq_idx, np.append(uniq_idx, ws.size)
+
+
 
 
 def tdigest_rollup(
@@ -174,8 +184,8 @@ def tdigest_rollup(
     """Build per-(keys, window) digests from raw values — the ONE pass
     that touches raw-scale rows. The shuffle is the same keys-hash
     partitioning every other rollup uses; digests are built per window
-    by an inner pandas groupby inside day-sized Arrow batches (see
-    ``_batched_digest_apply``)."""
+    per window by a numpy sort + slice inside day-sized Arrow batches
+    (``_window_slices``; one Python call per key-day, not per window)."""
     keys = list(keys)
     win = F.window(ts, TIER_DURATION[tier])
     g = (
@@ -208,8 +218,7 @@ def tdigest_rollup(
         v = pdf["_v"].to_numpy(dtype=np.float64)
         order = np.lexsort((v, ws))
         ws, we, v = ws[order], we[order], v[order]
-        uniq_idx = np.flatnonzero(np.r_[True, ws[1:] != ws[:-1]])
-        bounds = np.append(uniq_idx, ws.size)
+        uniq_idx, bounds = _window_slices(ws)
         rows: dict = {c: [] for c in gcols}
         rows.update(means=[], weights=[], vmin=[], vmax=[])
         for c in keys:
@@ -265,8 +274,7 @@ def tdigest_cascade(
         order = np.argsort(ws, kind="stable")
         ws, we = ws[order], we[order]
         mc, wc, lo_c, hi_c = mc[order], wc[order], lo_c[order], hi_c[order]
-        uniq_idx = np.flatnonzero(np.r_[True, ws[1:] != ws[:-1]])
-        bounds = np.append(uniq_idx, ws.size)
+        uniq_idx, bounds = _window_slices(ws)
         rows: dict = {k: [pdf[k].iloc[0]] * uniq_idx.size for k in keys}
         rows["window_start"] = list(ws[uniq_idx])
         rows["window_end"] = list(we[uniq_idx])

@@ -90,6 +90,34 @@ def _with_pid(df: DataFrame, order_col: str, bucket_s: float = SWEEP_BUCKET_S) -
     )
 
 
+def _bucket_shift(per_pid: DataFrame, specs: Sequence[tuple[str, int, str]]) -> DataFrame:
+    """Tiny per-bucket edge frame → ``(_pid, *shifted)``: collect into
+    ONE sorted array and shift each column by ±1 NON-EMPTY bucket via
+    ``transform`` with index (no unpartitioned window — see
+    :func:`_scan_array_offsets` for why the ban applies even to small
+    frames). ``specs`` = (src_col, offset, out_col) with offset −1 =
+    previous bucket's value, +1 = next bucket's; first/last bucket gets
+    null. One collect serves every spec."""
+    cols = sorted({c for c, _, _ in specs})
+    shifted = [
+        f"if({'i > 0' if off < 0 else 'i < size(a)-1'}, a[i{off:+d}].{c}, null) as {out}"
+        for c, off, out in specs
+    ]
+    return (
+        per_pid.agg(F.sort_array(F.collect_list(F.struct("_pid", *cols))).alias("a"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(a, (x, i) -> struct(x._pid as _pid, "
+                    + ", ".join(shifted)
+                    + "))"
+                )
+            ).alias("e")
+        )
+        .select("e.*")
+    )
+
+
 def _prefix_scan_offsets(
     ptotals: DataFrame, total_type: str, group: int = 4096
 ) -> DataFrame:
@@ -214,27 +242,10 @@ def _keyless_neighbors(
         F.min_by(c, order_col).alias(f"_first_{c}") for c in set(lead_cols)
     ]
     edges = df_pid.groupBy("_pid").agg(*edge_aggs)
-    # neighbor lookup over the tiny bucket-grain edges frame as a
-    # single-row sorted-array index walk (transform with index), not an
-    # unpartitioned window — see _prefix_scan_offsets for why the
-    # engine bans Window.orderBy without a partition spec outright
-    fields = [f"_last_{c}" for c in set(lag_cols)] + [f"_first_{c}" for c in set(lead_cols)]
-    shifted = (
-        [f"if(i > 0, a[i-1]._last_{c}, null) as _patch_prev_{c}" for c in lag_cols]
-        + [f"if(i < size(a)-1, a[i+1]._first_{c}, null) as _patch_next_{c}" for c in lead_cols]
-    )
-    patch = (
-        edges.agg(F.sort_array(F.collect_list(F.struct("_pid", *fields))).alias("a"))
-        .select(
-            F.explode(
-                F.expr(
-                    "transform(a, (x, i) -> struct(x._pid as _pid, "
-                    + ", ".join(shifted)
-                    + "))"
-                )
-            ).alias("e")
-        )
-        .select("e.*")
+    patch = _bucket_shift(
+        edges,
+        [(f"_last_{c}", -1, f"_patch_prev_{c}") for c in lag_cols]
+        + [(f"_first_{c}", +1, f"_patch_next_{c}") for c in lead_cols],
     )
     out = out.join(F.broadcast(patch), "_pid")
     for c in lag_cols:
@@ -331,20 +342,7 @@ def accumulation(
             per_pid.select("_pid", "_ptotal"),
             per_pid.schema["_ptotal"].dataType.simpleString(),
         )
-        patch = (
-            per_pid.agg(
-                F.sort_array(F.collect_list(F.struct("_pid", "_first_t"))).alias("a")
-            )
-            .select(
-                F.explode(
-                    F.expr(
-                        "transform(a, (x, i) -> struct(x._pid as _pid, "
-                        "if(i < size(a)-1, a[i+1]._first_t, null) as _next_first))"
-                    )
-                ).alias("e")
-            )
-            .select("e.*")
-        )
+        patch = _bucket_shift(per_pid, [("_first_t", +1, "_next_first")])
         side = offsets.join(F.broadcast(patch), "_pid")
         stepped = (
             local.join(F.broadcast(side), "_pid")
@@ -417,20 +415,7 @@ def _islands(
             F.max_by("acc_end", "acc_start").alias("_last_end"),
         )
     )
-    adj = (
-        per_pid.agg(
-            F.sort_array(F.collect_list(F.struct("_pid", "_last_end"))).alias("a")
-        )
-        .select(
-            F.explode(
-                F.expr(
-                    "transform(a, (x, i) -> struct(x._pid as _pid, "
-                    "if(i > 0, a[i-1]._last_end, null) as _prev_last_end))"
-                )
-            ).alias("e")
-        )
-        .select("e.*")
-    )
+    adj = _bucket_shift(per_pid, [("_last_end", -1, "_prev_last_end")])
     per2 = per_pid.join(F.broadcast(adj), "_pid").withColumn(
         "_c",
         F.when(F.col("_prev_last_end") == F.col("_first_start"), F.lit(1))

@@ -1006,30 +1006,22 @@ def _op_stream(dfs, st):
         raise GSLError(f"line {st.pos}: STREAM needs aggregate expressions")
     if "dir" not in st.params:
         raise GSLError(f"line {st.pos}: STREAM needs dir: '<scratch dir>'")
-    # the drain WIPES dir: on entry — refuse anything that doesn't look
-    # like an empty/fresh dir or a previous STREAM scratch layout, so a
-    # typo'd data path can never be rmtree'd by a script statement
-    work = str(st.params["dir"])
-    import os as _os
-
-    if _os.path.exists(work):
-        entries = set(_os.listdir(work))
-        if entries and not entries <= {"src", "out", "ckpt"}:
-            raise GSLError(
-                f"line {st.pos}: STREAM dir: {work!r} exists and does not "
-                f"look like a previous STREAM scratch dir (contains "
-                f"{sorted(entries)[:5]}); refusing to wipe it"
-            )
-    emitted, boundary = run_rollup_to_table(
-        src.sparkSession,
-        src,
-        work,
-        size,
-        aggs=aggs,
-        keys=keys,
-        ts=ts,
-        watermark=st.params.get("watermark", "10 minutes"),
-    )
+    # the drain WIPES dir: on entry; materialize._wipe_scratch refuses
+    # anything that doesn't look like a fresh/previous scratch layout,
+    # so a typo'd data path can never be rmtree'd by a script statement
+    try:
+        emitted, boundary = run_rollup_to_table(
+            src.sparkSession,
+            src,
+            str(st.params["dir"]),
+            size,
+            aggs=aggs,
+            keys=keys,
+            ts=ts,
+            watermark=st.params.get("watermark", "10 minutes"),
+        )
+    except ValueError as e:
+        raise GSLError(f"line {st.pos}: STREAM: {e}") from None
     batch = window_rollup(src, size, aggs=aggs, keys=keys, ts=ts)
     tail = (
         batch.filter(F.col("window_end") > F.lit(boundary))

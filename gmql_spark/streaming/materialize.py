@@ -114,28 +114,29 @@ def _run_drain(
 
 
 def watermark_trail(query, n_batches: int) -> list:
-    """Event-time watermark at the START of each of the first
-    ``n_batches`` batches, from the finished query's progress, as naive
-    UTC datetimes (epoch where unset). Batches are taken positionally —
-    batch k of a ``maxFilesPerTrigger=1`` drain is staged file k, so
-    the trail stays aligned even if a staged file is empty. Raises if
-    the progress buffer holds fewer than ``n_batches`` entries (e.g.
-    past ``spark.sql.streaming.numRecentProgressUpdates``) — a silent
-    truncation would misalign every downstream drop prediction."""
-    progs = []
+    """Event-time watermark at the START of batches 0..n_batches−1,
+    from the finished query's progress, as naive UTC datetimes (epoch
+    where unset). Entries are aligned by ``batchId`` — batch k of a
+    ``maxFilesPerTrigger=1`` drain is staged file k, even if a file is
+    empty — so the trail cannot shift when the progress ring buffer
+    (``spark.sql.streaming.numRecentProgressUpdates``, default 100)
+    evicts early entries: a missing batchId raises instead of silently
+    misaligning every downstream drop prediction."""
+    by_id: dict[int, dict] = {}
     for prog in query.recentProgress:
         if not isinstance(prog, dict):
             prog = json.loads(prog.json if hasattr(prog, "json") else str(prog))
-        progs.append(prog)
-    if len(progs) < n_batches:
+        by_id[int(prog["batchId"])] = prog
+    missing = [k for k in range(n_batches) if k not in by_id]
+    if missing:
         raise RuntimeError(
-            f"watermark trail incomplete: {len(progs)} progress entries for "
-            f"{n_batches} staged files — raise "
+            f"watermark trail incomplete: batches {missing[:5]} evicted from "
+            "the progress buffer — raise "
             "spark.sql.streaming.numRecentProgressUpdates or stage fewer files"
         )
     out = []
-    for prog in progs[:n_batches]:
-        wm = (prog.get("eventTime") or {}).get("watermark")
+    for k in range(n_batches):
+        wm = (by_id[k].get("eventTime") or {}).get("watermark")
         out.append(
             _dt.datetime.fromisoformat(wm.replace("Z", "+00:00")).replace(
                 tzinfo=None
@@ -144,6 +145,22 @@ def watermark_trail(query, n_batches: int) -> list:
             else _dt.datetime(1970, 1, 1)
         )
     return out
+
+
+def _wipe_scratch(work_dir: str) -> None:
+    """rmtree the drain scratch dir — refusing anything that exists and
+    does not look like a previous drain's layout (src/out/ckpt or
+    empty), so a typo'd DATA path can never be deleted by a harness
+    call. Every entry point (direct calls and the GSL STREAM statement)
+    inherits the guard because it sits next to the rmtree."""
+    if os.path.exists(work_dir):
+        entries = set(os.listdir(work_dir))
+        if entries and not entries <= {"src", "out", "ckpt"}:
+            raise ValueError(
+                f"refusing to wipe {work_dir!r}: it exists and does not look "
+                f"like a drain scratch dir (contains {sorted(entries)[:5]})"
+            )
+    shutil.rmtree(work_dir, ignore_errors=True)
 
 
 def run_rollup_to_table(
@@ -174,7 +191,7 @@ def run_rollup_to_table(
     with ``window_end > boundary`` are exactly the ones still in state
     — recompute those batch-side for a full answer (see module doc).
     """
-    shutil.rmtree(work_dir, ignore_errors=True)
+    _wipe_scratch(work_dir)
     src_dir = os.path.join(work_dir, "src")
     out_dir = os.path.join(work_dir, "out")
     ckpt_dir = os.path.join(work_dir, "ckpt")
@@ -246,7 +263,7 @@ def run_rollup_multi_batch(
     its max ``window_end``, and the per-batch watermark trail
     (:func:`watermark_trail`: one entry per file, positionally aligned
     even when a staged file is empty; entry 0 is the epoch)."""
-    shutil.rmtree(work_dir, ignore_errors=True)
+    _wipe_scratch(work_dir)
     src_dir = os.path.join(work_dir, "src")
     out_dir = os.path.join(work_dir, "out")
     ckpt_dir = os.path.join(work_dir, "ckpt")

@@ -49,6 +49,15 @@ SANCTIONED_OBJECT_AGG = {
 EXCHANGE_BUDGET = {
     "range_stitch": 6,
     "realtime_rollup": 10,
+    # pins the r7 cover diet (staged+fused keyless sweeps; the visible
+    # plan is the post-checkpoint tail — a refactor that re-inflates
+    # the sweep or un-stages it shows up here)
+    "cover_jaccard": 18,
+    "flat_cover": 18,
+    "cover_accumulation": 15,
+    # the digest serving gate's plan must stay 3 grouped-map shuffles +
+    # exact side + join — a fourth Arrow stage or a lost broadcast fails
+    "percentile_digest_ok": 7,
 }
 
 

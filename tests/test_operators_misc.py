@@ -771,3 +771,89 @@ def test_prefix_scan_offsets_two_level(spark):
             for r in _prefix_scan_offsets(df, "bigint", group=g).collect()
         }
         assert got == exp, g
+
+
+def test_fused_keyless_sweeps_match_python_across_sweep_buckets(spark):
+    """Differential guard for the r7 FUSED keyless sweeps (staged
+    accumulation with combined offset+lead side-frame; islands with the
+    provisional-flag per-bucket correction): a tiny sweep_bucket_s
+    forces dozens of sweep buckets — empty buckets, islands crossing
+    bucket boundaries, buckets whose first segment continues the
+    previous bucket's island — and everything must match a pure-python
+    single-threaded sweep exactly."""
+    import random
+
+    from gmql_spark.operators.cover import accumulation, cover, summits
+
+    for seed in (3, 11, 77):
+        rng = random.Random(seed)
+        iv = []
+        for _ in range(80):
+            s = rng.randrange(0, 4000)
+            e = s + rng.randrange(1, 900)
+            iv.append((s, e))
+        df = spark.createDataFrame(
+            [(ts(s / 60.0), ts(e / 60.0)) for s, e in iv],
+            "start_ts timestamp, end_ts timestamp",
+        )
+        # 60 s sweep buckets over a ~4900 s span: ~80 buckets
+        kw = dict(sweep_bucket_s=60.0)
+
+        # pure-python reference sweep
+        pts = sorted({t for s, e in iv for t in (s, e)})
+        segs = []
+        for a, b in zip(pts, pts[1:]):
+            acc = sum(1 for s, e in iv if s < b and e > a)
+            if acc > 0:
+                segs.append((a, b, acc))
+        # merge adjacent equal-acc runs (accumulation merges via per_t
+        # delta!=0 filtering — equal-acc adjacent runs only arise when a
+        # zero-net-delta instant was removed)
+        merged = []
+        for a, b, acc in segs:
+            if merged and merged[-1][1] == a and merged[-1][2] == acc:
+                merged[-1] = (merged[-1][0], b, acc)
+            else:
+                merged.append((a, b, acc))
+        exp_acc = {(ts(a / 60.0), ts(b / 60.0), acc) for a, b, acc in merged}
+        got_acc = {
+            (r.acc_start, r.acc_end, r.acc)
+            for r in accumulation(df, **kw).collect()
+        }
+        assert got_acc == exp_acc, f"seed {seed}: accumulation diverged"
+
+        # islands at min_acc=2 (sessionize adjacent in-range segments)
+        in_range = [(a, b, acc) for a, b, acc in merged if acc >= 2]
+        exp_islands = []
+        for a, b, acc in in_range:
+            if exp_islands and exp_islands[-1][1] == a:
+                exp_islands[-1] = (
+                    exp_islands[-1][0], b, max(exp_islands[-1][2], acc)
+                )
+            else:
+                exp_islands.append((a, b, acc))
+        exp_cov = {
+            (ts(a / 60.0), ts(b / 60.0), m) for a, b, m in exp_islands
+        }
+        got_cov = {
+            (r.cover_start, r.cover_end, r.acc_max)
+            for r in cover(df, min_acc=2, **kw).collect()
+        }
+        assert got_cov == exp_cov, f"seed {seed}: cover islands diverged"
+
+        # summits: acc > left-adjacent, >= right-adjacent
+        exp_sum = set()
+        for i, (a, b, acc) in enumerate(merged):
+            left = merged[i - 1][2] if i > 0 and merged[i - 1][1] == a else 0
+            right = (
+                merged[i + 1][2]
+                if i + 1 < len(merged) and merged[i + 1][0] == b
+                else 0
+            )
+            if acc > left and acc >= right:
+                exp_sum.add((ts(a / 60.0), ts(b / 60.0), acc))
+        got_sum = {
+            (r.acc_start, r.acc_end, r.acc)
+            for r in summits(df, **kw).collect()
+        }
+        assert got_sum == exp_sum, f"seed {seed}: summits diverged"

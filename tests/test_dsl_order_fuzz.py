@@ -126,3 +126,67 @@ def test_topk_direction_actually_flips(spark):
     assert run("v desc") == [(0, 4), (0, 5), (1, 4), (1, 5)]
     assert run("v asc") == [(0, 1), (0, 2), (1, 1), (1, 2)]
     assert run("v") == run("v asc")
+
+
+@pytest.mark.parametrize(
+    "spec",
+    ["value desc", "value asc nulls last", "cast(value as int) desc nulls first"],
+)
+def test_order_percent_and_rank_match_api(spark, frame, spec):
+    """ORDER's other modes run the same spec parser: percent (TopP) and
+    bare rank must both agree with the direct operator given explicit
+    Columns."""
+    from gmql_spark.operators.order import rank_per_key, top_percent_per_key
+
+    def canon(df):
+        cols = [c for c in df.columns]
+        return sorted(
+            tuple(None if v is None else v for v in r)
+            for r in df.select(*cols).collect()
+        )
+
+    m = compile_script(
+        spark,
+        f"P = ORDER(key: 'tag', by: '{spec}', percent: 0.5) E;"
+        f"R = ORDER(key: 'tag', by: '{spec}') E;"
+        "MATERIALIZE P; MATERIALIZE R;",
+        tables={"E": frame},
+    ).materialized
+    assert canon(m["P"]) == canon(
+        top_percent_per_key(frame, ["tag"], _sort_exprs([spec]), 0.5)
+    )
+    assert canon(m["R"]) == canon(
+        rank_per_key(frame, ["tag"], _sort_exprs([spec]))
+    )
+
+
+def test_topg_direction_flips(spark):
+    """TOPG through the TOPK statement: the group column joins the
+    window partition, so the spec direction decides which row of each
+    (key, group) survives when ordering by a DIFFERENT column."""
+    from gmql_spark.operators.order import topg_per_key
+
+    df = spark.createDataFrame(
+        [(g, grp, v) for g in (0, 1) for grp in ("x", "y") for v in (1, 2, 3)],
+        "g long, grp string, v long",
+    )
+
+    def run(spec):
+        m = compile_script(
+            spark,
+            f"T = TOPK(key: 'g', group: 'grp', by: '{spec}', k: 1) D; "
+            "MATERIALIZE T;",
+            tables={"D": df},
+        ).materialized
+        return sorted((r.g, r.grp, r.v) for r in m["T"].collect())
+
+    desc = run("v desc")
+    asc = run("v asc")
+    assert desc == [(g, grp, 3) for g in (0, 1) for grp in ("x", "y")]
+    assert asc == [(g, grp, 1) for g in (0, 1) for grp in ("x", "y")]
+    assert desc == sorted(
+        (r.g, r.grp, r.v)
+        for r in topg_per_key(
+            df, ["g"], ["grp"], _sort_exprs(["v desc"]), 1
+        ).collect()
+    )

@@ -30,6 +30,15 @@ weight) centroids are interchangeable under weighted averaging.
 
 The reference has no sketching layer at all; this is beyond-parity
 surface alongside ``functions.sketches``.
+
+Known next optimization (not yet taken): for fine-tier windows below
+the merge-free threshold (n < 2δ/π — the overwhelming majority at 1m
+grain), the digest is EXACTLY ``sort_array(collect_list(v))`` + unit
+weights, so the build pass could stay JVM-side entirely (a bounded
+collection aggregate, same sanction argument as BAG) and reserve the
+Arrow path for the rare oversized window. Today's day-batched Arrow
+build measures 39.6 s for 1M values at sf1 (BENCH/sf1.json
+``tdigest_family``) — honest but Python-bound.
 """
 
 from __future__ import annotations

@@ -296,7 +296,10 @@ def main() -> int:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         build_inputs(spark, reuse=True)
         ev = _norm_ts(spark.read.parquet(SF1_EVENTS))
-        _merge_results({"cover_family": cover_family(spark, ev)})
+        _merge_results({
+            "cover_family": cover_family(spark, ev),
+            "tdigest_family": tdigest_family(spark, ev),
+        })
         return 0
     t_build = time.perf_counter()
     build_inputs(spark, args.reuse)
@@ -468,12 +471,74 @@ def main() -> int:
         gaps.unpersist()
 
     results["cover_family"] = cover_family(spark, ev)
+    results["tdigest_family"] = tdigest_family(spark, ev)
 
     if args.churn:
         results["churn_compaction"] = churn_family(spark, args.churn)
 
     _merge_results(results)
     return 0
+
+
+def tdigest_family(spark, ev) -> dict:
+    """t-digest serving at sf1 (new r7 surface — give it sf1 evidence
+    up front): 1M values through build(1m) → cascade(1h) → cascade(1d)
+    → p50/p95/p99 extraction, each estimate checked against the exact
+    [q−0.02, q+0.02] rank band (the gate's contract) — violations must
+    be zero at this scale too, and the wall clock pins the vectorized
+    Arrow batching."""
+    from pyspark.sql import functions as F
+
+    from gmql_spark.functions.tdigest import (
+        tdigest_cascade,
+        tdigest_quantile,
+        tdigest_rollup,
+    )
+    from gmql_spark.operators.rollup import exact_percentiles
+
+    src = ev.filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull() & ~F.isnan("value")
+    ).select(
+        F.pmod(F.col("user_id"), F.lit(4)).cast("long").alias("grp"),
+        "ts",
+        F.col("value").alias("v"),
+    )
+    t0 = time.perf_counter()
+    d1m = tdigest_rollup(src, "1m", keys=("grp",), value_col="v")
+    d1h = tdigest_cascade(d1m, "1h", keys=("grp",))
+    d1d = tdigest_cascade(d1h, "1d", keys=("grp",))
+    est = d1d.select(
+        "grp",
+        "window_start",
+        tdigest_quantile(0.50)("means", "weights", "vmin", "vmax").alias("e50"),
+        tdigest_quantile(0.95)("means", "weights", "vmin", "vmax").alias("e95"),
+        tdigest_quantile(0.99)("means", "weights", "vmin", "vmax").alias("e99"),
+    )
+    band = {50: (0.48, 0.52), 95: (0.93, 0.97), 99: (0.97, 1.0)}
+    exact = exact_percentiles(
+        src.select("grp", F.window("ts", "1 day")["start"].alias("window_start"), "v"),
+        keys=["grp", "window_start"],
+        value="v",
+        pcts=[b for lo_hi in band.values() for b in lo_hi],
+        names=[f"_{t}{p}" for p in band for t in ("lo", "hi")],
+    )
+    j = est.join(exact, ["grp", "window_start"])
+    bad = j.filter(
+        ~(
+            F.col("e50").between(F.col("_lo50") - 1e-9, F.col("_hi50") + 1e-9)
+            & F.col("e95").between(F.col("_lo95") - 1e-9, F.col("_hi95") + 1e-9)
+            & F.col("e99").between(F.col("_lo99") - 1e-9, F.col("_hi99") + 1e-9)
+        )
+    ).count()
+    cells = j.count()
+    wall = time.perf_counter() - t0
+    assert bad == 0, f"tdigest sf1: {bad} rank-band violations"
+    return {
+        "wall_s": round(wall, 2),
+        "values": src.count(),
+        "day_cells": cells,
+        "rank_band_violations": bad,
+    }
 
 
 def cover_family(spark, ev) -> dict:

@@ -220,3 +220,34 @@ def test_tier_tables_carry_digest_columns(spark):
         for c in ("means", "weights"):
             for a, b in zip(got[c], exp[c]):
                 assert np.array_equal(np.asarray(a), np.asarray(b)), (t, c)
+
+
+def test_routed_build_big_window_path(spark):
+    """The routed build's Arrow path must fire for windows past the
+    merge-free threshold and produce exactly build_digest's output;
+    small windows in the same frame take the JVM collect path and stay
+    bit-identical too."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 5, 1)
+    rng = np.random.Generator(np.random.PCG64(5))
+    big_vals = rng.lognormal(3, 1, size=1000)  # one minute, 1000 values
+    rows = [("k1", t0 + dt.timedelta(microseconds=i), float(v))
+            for i, v in enumerate(big_vals)]
+    rows += [("k1", t0 + dt.timedelta(minutes=1, seconds=s), float(s))
+             for s in range(5)]  # small window: 5 values
+    df = spark.createDataFrame(rows, "conv_id string, ts timestamp, v double")
+    out = {
+        r.window_start: r
+        for r in tdigest_rollup(df, "1m", value_col="v").collect()
+    }
+    assert len(out) == 2
+    big = out[t0]
+    m, w, lo, hi = build_digest(big_vals)
+    assert len(big.means) == len(m) < 1000  # genuinely compressed
+    assert np.array_equal(np.asarray(big.means), m)
+    assert np.array_equal(np.asarray(big.weights), w)
+    assert (big.vmin, big.vmax) == (lo, hi)
+    small = out[t0 + dt.timedelta(minutes=1)]
+    assert list(small.means) == [0.0, 1.0, 2.0, 3.0, 4.0]
+    assert list(small.weights) == [1.0] * 5

@@ -39,6 +39,10 @@ SANCTIONED_BNLJ = {
 # contract and partial/final map-side combine still applies.
 SANCTIONED_OBJECT_AGG = {
     "bag_aggregates": "BAG/BAGD = collect_list/collect_set by definition",
+    "percentile_digest_ok": "merge-free digest build = sort_array("
+    "collect_list) BOUNDED < 2δ/π values per group BY CONSTRUCTION "
+    "(rows anti-joined against the oversized-window key set first) — "
+    "tdigest_rollup's routed JVM path",
 }
 
 # Exchange-count budgets: queries whose plan weight regressed before
@@ -55,9 +59,10 @@ EXCHANGE_BUDGET = {
     "cover_jaccard": 18,
     "flat_cover": 18,
     "cover_accumulation": 15,
-    # the digest serving gate's plan must stay 3 grouped-map shuffles +
-    # exact side + join — a fourth Arrow stage or a lost broadcast fails
-    "percentile_digest_ok": 7,
+    # the digest serving gate: routed build (counts + bounded JVM
+    # collect + rare-window Arrow path) + 1h/1d cascades + exact side +
+    # join — an extra Arrow stage or a lost broadcast fails
+    "percentile_digest_ok": 12,
 }
 
 

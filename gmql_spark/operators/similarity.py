@@ -16,6 +16,10 @@ from pyspark.sql.window import Window
 
 from gmql_spark.operators.order import topk_per_key
 
+# brute-force baselines collect/broadcast the query block by contract;
+# past this the scale paths (LSH buckets / IVF cells) are the answer
+_MAX_BRUTE_QUERIES = 100_000
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -23,6 +27,140 @@ def _dot(a, b):
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+# ------------------------------------------ vectorized exact dot folds
+#
+# Catalyst evaluates higher-order functions (zip_with/aggregate) with an
+# interpreted per-element path — no whole-stage codegen — which measures
+# ~100 ns/element here: the corpus-side LSH signatures / IVF cell
+# assignment / brute re-ranks were the dominant cost of every similarity
+# gate (guide §4.2: hand whole batches to vectorized native code). The
+# helpers below replay the EXACT JVM semantics in numpy so results stay
+# bit-identical:
+#   product  = cast(float→double) ∘ IEEE double multiply (exact widening)
+#   dot      = left-to-right fold  (((0 + x0·y0) + x1·y1) + …)
+#              → a loop over DIMENSIONS, vectorized over rows: each
+#                `acc += X[:, j] * Y[j]` is the same IEEE add, same order
+#   sim      = dot / (norm_a · norm_b), norms = sqrt(self-fold)
+# NaN/None propagation matches the JVM (null vector → null result; NaN
+# arithmetic is IEEE-identical; `dot > 0` is false for NaN both sides).
+# Differential tests: tests/test_similarity_arrow.py (HOF vs Arrow).
+
+
+def _np2d(col):
+    """pyarrow list<float|double> column → (X float64 (n, d), null mask).
+    float32→float64 widening is exact. Null rows come back as zero rows
+    with mask=True (callers must null their outputs). Ragged lengths
+    raise — the JVM path would silently null-pad (see ``_infer_dim``'s
+    poison note); the vectorized path refuses instead."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(a)
+    mask = np.zeros(n, dtype=bool)
+    if a.null_count:
+        mask = pc.is_null(a).to_numpy(zero_copy_only=False).astype(bool)
+    inner_nulls = bool(a.flatten().null_count)
+    lens = pc.list_value_length(a).to_numpy(zero_copy_only=False)
+    valid_lens = lens[~mask]
+    if valid_lens.size == 0:
+        return np.zeros((n, 0), dtype=np.float64), np.ones(n, dtype=bool)
+    d = int(valid_lens[0])
+    if not (valid_lens == d).all():
+        raise ValueError(
+            "vectorized dot path: ragged embedding lengths "
+            f"(expected {d}, saw {sorted(set(valid_lens.tolist()))[:5]})"
+        )
+    fast = not a.null_count and not inner_nulls
+    if fast:
+        flat = a.flatten().to_numpy(zero_copy_only=False)
+        return flat.astype(np.float64, copy=False).reshape(n, d), mask
+    # slow path (null rows and/or null elements — rare): rebuild row by
+    # row; a null ELEMENT nulls the entire JVM fold (null product → null
+    # sum), so such rows are masked like null vectors
+    X = np.zeros((n, d), dtype=np.float64)
+    for i in range(n):
+        if mask[i]:
+            continue
+        row = a[i].as_py()
+        if any(x is None for x in row):
+            mask[i] = True
+        else:
+            X[i] = np.asarray(row, dtype=np.float64)
+    return X, mask
+
+
+def _fold_mat(X, W):
+    """(n, d) × (d, k) exact left-to-right dot fold per (row, col)."""
+    import numpy as np
+
+    acc = np.zeros((X.shape[0], W.shape[1]), dtype=np.float64)
+    for j in range(X.shape[1]):
+        acc += X[:, j, None] * W[None, j, :]
+    return acc
+
+
+def _fold_pair(X, Y):
+    """(n, d) × (n, d) exact left-to-right dot fold per row."""
+    import numpy as np
+
+    acc = np.zeros(X.shape[0], dtype=np.float64)
+    for j in range(X.shape[1]):
+        acc += X[:, j] * Y[:, j]
+    return acc
+
+
+def _ddl_of(df: DataFrame, cols) -> str:
+    types = dict(df.dtypes)
+    return ", ".join(f"{c} {types[c]}" for c in cols)
+
+
+def _arrow_pair_sim(df: DataFrame, out_cols, qv: str = "_qv", cv: str = "_cv",
+                    out: str = "sim") -> DataFrame:
+    """``df`` → ``select(*out_cols, sim)`` with
+    sim = fold(qv·cv) / (sqrt(fold(qv·qv)) · sqrt(fold(cv·cv)))
+    — bit-identical to the HOF expression (``_dot``-based re-rank), via
+    one vectorized Arrow pass. Columns are projected BEFORE the map so
+    only the pair vectors cross the boundary (guide §4.1)."""
+    import pyarrow as pa
+
+    out_cols = list(out_cols)
+    src = df.select(*out_cols, qv, cv)
+    ddl = _ddl_of(src, out_cols) + f", {out} double"
+    nq, nc = len(out_cols), len(out_cols) + 1
+
+    def fn(it):
+        import numpy as np
+
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            Q, qm = _np2d(batch.column(nq))
+            C, cm = _np2d(batch.column(nc))
+            if Q.shape[1] and C.shape[1]:
+                if Q.shape[1] != C.shape[1]:
+                    # JVM zip_with null-pads mismatched lengths → null sim
+                    sim = np.zeros(batch.num_rows)
+                    bad = np.ones(batch.num_rows, dtype=bool)
+                else:
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        qn = np.sqrt(_fold_pair(Q, Q))
+                        cn = np.sqrt(_fold_pair(C, C))
+                        sim = _fold_pair(Q, C) / (qn * cn)
+                    bad = qm | cm
+            else:
+                sim = np.zeros(batch.num_rows)
+                bad = np.ones(batch.num_rows, dtype=bool)
+            cols = [batch.column(i) for i in range(nq)]
+            cols.append(pa.array(sim, type=pa.float64(), mask=bad))
+            yield pa.RecordBatch.from_arrays(
+                cols, names=out_cols + [out]
+            )
+
+    return src.mapInArrow(fn, ddl)
 
 
 def _lit_arr(w):
@@ -34,46 +172,52 @@ def _lit_arr(w):
     return F.array(*[F.lit(float(x)) for x in w])
 
 
-def _planes_frame(spark, planes):
-    """LSH hyperplanes as a tiny broadcast TABLE — one row per hash
-    table, its plane matrix as data — instead of n_tables × n_planes ×
-    dim plan literals, so plan/codegen size is independent of the LSH
-    configuration (same hygiene as ``_cent_frame`` for centroids).
-    Carries the non-foldable constant join key (a literal 0 would
-    constant-fold into a BNLJ cross join)."""
-    rows = [
-        (t, [[float(x) for x in pl] for pl in planes[t]])
-        for t in range(planes.shape[0])
-    ]
-    return spark.createDataFrame(
-        rows, "table int, _planes array<array<double>>"
-    ).withColumn("_one", F.pmod(F.xxhash64("table"), F.lit(1)))
+def _with_lsh_buckets(frame: DataFrame, vc: str, planes) -> DataFrame:
+    """Append ``(table, bucket)`` per row (``n_tables`` output rows per
+    input row) via one vectorized Arrow pass. Bit-identical to the
+    former broadcast-planes HOF formulation (r3–r7): each plane dot is
+    the same cast-then-multiply left-to-right fold (``_fold_mat``), the
+    sign test is ``dot > 0`` (false for NaN on both engines), and the
+    bucket is Σ (bit << p) in ascending plane order — exact integer
+    addition either way. A null vector row yields a null bucket (the
+    HOF fold's null propagation), which the downstream candidate join
+    then drops. The planes ride the task closure (n_tables × n_planes ×
+    dim float64 — a few KB), not the plan, so plan/codegen size stays
+    independent of the LSH configuration."""
+    import numpy as np
+    import pyarrow as pa
 
+    planes = np.asarray(planes, dtype=np.float64)
+    n_tables, n_planes = planes.shape[0], planes.shape[1]
+    Ws = [np.ascontiguousarray(planes[t].T) for t in range(n_tables)]
+    shifts = (np.int64(1) << np.arange(n_planes, dtype=np.int64))[None, :]
+    vc_idx = frame.columns.index(vc)
+    ddl = _ddl_of(frame, frame.columns) + ", table int, bucket long"
+    names = frame.columns + ["table", "bucket"]
 
-def _with_lsh_buckets(frame: DataFrame, vc: str, one_col: str, planes_df) -> DataFrame:
-    """Append ``(table, bucket)`` per row: broadcast-join the n_tables
-    plane rows and fold the sign sketch with higher-order functions.
-    The per-plane dot is the same ``_dot`` zip_with+aggregate (identical
-    summation order), and bits are summed in ascending plane order —
-    signatures are bit-identical to the former literal-inline form.
-    (SQL text, not the python HOF API: ``F.shiftleft`` only takes a
-    literal int shift, while the SQL function accepts the lambda's
-    plane-index column.)"""
-    bucket = F.expr(
-        f"""aggregate(
-              transform(_planes, (pl, p) -> shiftleft(cast(
-                aggregate(zip_with({vc}, pl,
-                          (x, y) -> cast(x as double) * cast(y as double)),
-                          cast(0.0 as double), (acc, x) -> acc + x) > 0
-                as long), p)),
-              cast(0 as long), (acc, x) -> acc + x)"""
-    )
-    return (
-        frame.withColumn("_one", F.pmod(F.xxhash64(F.col(one_col)), F.lit(1)))
-        .join(F.broadcast(planes_df), on="_one")
-        .withColumn("bucket", bucket)
-        .drop("_one", "_planes")
-    )
+    def fn(it):
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            X, mask = _np2d(batch.column(vc_idx))
+            for t in range(n_tables):
+                if X.shape[1] == Ws[t].shape[0]:
+                    acc = _fold_mat(X, Ws[t])
+                    # Spark SQL orders NaN ABOVE every value, so the JVM
+                    # sign test `dot > 0` is TRUE for NaN; IEEE/numpy
+                    # comparison is false — mirror Spark
+                    bits = (acc > 0) | np.isnan(acc)
+                    bucket = (bits * shifts).sum(axis=1)
+                    bad = mask
+                else:  # dim mismatch: HOF would null-pad → null bucket
+                    bucket = np.zeros(batch.num_rows, dtype=np.int64)
+                    bad = np.ones(batch.num_rows, dtype=bool)
+                cols = list(batch.columns)
+                cols.append(pa.array(np.full(batch.num_rows, t, dtype=np.int32)))
+                cols.append(pa.array(bucket, type=pa.int64(), mask=bad))
+                yield pa.RecordBatch.from_arrays(cols, names=names)
+
+    return frame.mapInArrow(fn, ddl)
 
 
 def with_norm(df: DataFrame, vec_col: str = "embedding", out: str = "_norm") -> DataFrame:
@@ -89,23 +233,92 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
-    queries is expected small (broadcast); corpus arbitrary. Output:
-    (query_id, neighbor_id, rank). Self-matches excluded."""
-    q = with_norm(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")), "_qv", "_qn"
+    queries is expected small (the operator's brute-force contract —
+    same bound class as the former broadcast crossJoin plan, enforced at
+    ``_MAX_BRUTE_QUERIES``); corpus arbitrary. Output: (query_id,
+    neighbor_id, rank). Self-matches excluded.
+
+    r8: the |Q|×|N| sims come from ONE vectorized Arrow pass over the
+    corpus with the collected query block riding the task closure
+    (guide §8: move the decision work to a lightweight pass) instead of
+    a crossJoin scored by interpreted HOF folds — bit-identical sims
+    (see the fold-helper block above), ~5× less wall on the gate."""
+    import numpy as np
+    import pyarrow as pa
+
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    ).take(_MAX_BRUTE_QUERIES + 1)
+    if len(q_rows) > _MAX_BRUTE_QUERIES:
+        raise ValueError(
+            f"cosine_topk is the bounded brute baseline: > {_MAX_BRUTE_QUERIES} "
+            "query vectors — use lsh_bucket_topk / ivf_topk for large query sets"
+        )
+    id_t = dict(queries.dtypes)[id_col]
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    ddl = f"query_id {id_t}, neighbor_id {id_t}, sim double"
+    valid, null_qids = [], []
+    for r in q_rows:
+        v = r["_qv"]
+        if v is None or any(x is None for x in v):
+            null_qids.append(r["query_id"])  # null vector → null sims (JVM fold)
+        else:
+            valid.append(r)
+    if valid and len({len(r["_qv"]) for r in valid}) > 1:
+        raise ValueError("cosine_topk: ragged query embedding lengths")
+    qids = np.array([r["query_id"] for r in valid])
+    Q = (
+        np.array([list(r["_qv"]) for r in valid], dtype=np.float64)
+        if valid else np.zeros((0, 0))
     )
-    c = with_norm(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
-        "_cv",
-        "_cn",
-    )
-    sim = _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
-    scored = (
-        F.broadcast(q)
-        .crossJoin(c)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", sim.alias("sim"))
-    )
+    with np.errstate(invalid="ignore", divide="ignore"):
+        qn = np.sqrt(_fold_pair(Q, Q)) if valid else np.zeros(0)
+    m = len(qids)
+
+    def fn(it):
+        for batch in it:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            cids_arr = batch.column(0)
+            cids = np.asarray(cids_arr.to_pylist(), dtype=object)
+            X, mask = _np2d(batch.column(1))
+            out_q, out_c, out_s, out_bad = [], [], [], []
+            if m and X.shape[1] == Q.shape[1]:
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    cn = np.sqrt(_fold_pair(X, X))
+                    sims = _fold_mat(X, Q.T) / (cn[:, None] * qn[None, :])
+                out_q.append(np.repeat(qids, n))
+                out_c.append(np.tile(cids, m))
+                out_s.append(sims.T.reshape(-1))
+                out_bad.append(np.tile(mask, m))
+            elif m:  # dim mismatch → HOF null-pads → null sims
+                out_q.append(np.repeat(qids, n))
+                out_c.append(np.tile(cids, m))
+                out_s.append(np.zeros(m * n))
+                out_bad.append(np.ones(m * n, dtype=bool))
+            for nq in null_qids:  # null query vector → null sims
+                out_q.append(np.full(n, nq, dtype=object))
+                out_c.append(np.tile(cids, 1))
+                out_s.append(np.zeros(n))
+                out_bad.append(np.ones(n, dtype=bool))
+            if not out_q:
+                continue
+            oq = np.concatenate(out_q)
+            oc = np.concatenate(out_c)
+            os_ = np.concatenate(out_s)
+            ob = np.concatenate(out_bad)
+            keep = oq != oc  # self-match excluded, as before
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(oq[keep].tolist(), type=cids_arr.type),
+                    pa.array(oc[keep].tolist(), type=cids_arr.type),
+                    pa.array(os_[keep], type=pa.float64(), mask=ob[keep]),
+                ],
+                names=["query_id", "neighbor_id", "sim"],
+            )
+
+    scored = c.mapInArrow(fn, ddl)
     out = topk_per_key(
         scored,
         keys=["query_id"],
@@ -152,9 +365,8 @@ def cosine_near_pairs(
             dim = _infer_dim(df, vec_col)
         rng = np.random.Generator(np.random.PCG64(seed))
         planes = rng.standard_normal((n_tables, n_planes, dim))
-        pf = _planes_frame(df.sparkSession, planes)
-        ab = _with_lsh_buckets(a, "_av", "id_a", pf)
-        bb = _with_lsh_buckets(b, "_bv", "id_b", pf)
+        ab = _with_lsh_buckets(a, "_av", planes)
+        bb = _with_lsh_buckets(b, "_bv", planes)
         pairs = (
             ab.join(bb, on=["table", "bucket"])
             .filter(F.col("id_a") < F.col("id_b"))
@@ -218,15 +430,18 @@ def ivf_topk(
             for c in cen
         ])
 
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
-    c = (
-        c.withColumn("_cn", F.sqrt(_dot(F.col("_cv"), F.col("_cv"))))
-        .withColumn("_sims", sims("_cv", "_cn"))
-        .withColumn(
-            "cell", F.array_position(F.col("_sims"), F.array_max("_sims")).cast("int")
-        )
-        .drop("_sims", "_cn")
+    # corpus cell assignment: the |corpus| × n_cells score matrix runs
+    # through the vectorized Arrow fold (bit-identical to the literal
+    # HOF chain, see fold-helper block) — this was the raw-scale cost of
+    # the literal mode; argmax tie-break (first max = lowest cell) is
+    # numpy's argmax, same as array_position-of-first-max
+    c = _assign_cells_np(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
+        "_cv",
+        cen,
     )
+    # query side is tiny — keep the literal JVM expressions (identical
+    # values by the fold equivalence, no Python stage for 20 rows)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
     qcells = (
         q.withColumn("_qn", F.sqrt(_dot(F.col("_qv"), F.col("_qv"))))
@@ -241,10 +456,7 @@ def ivf_topk(
         .select("query_id", "_qv", "cell")
     )
     cands = probed.join(c, on="cell").filter(F.col("query_id") != F.col("neighbor_id"))
-    qn = F.sqrt(_dot(F.col("_qv"), F.col("_qv")))
-    cn = F.sqrt(_dot(F.col("_cv"), F.col("_cv")))
-    sim = _dot(F.col("_qv"), F.col("_cv")) / (qn * cn)
-    scored = cands.select("query_id", "neighbor_id", sim.alias("sim"))
+    scored = _arrow_pair_sim(cands, ["query_id", "neighbor_id"], "_qv", "_cv")
     out = topk_per_key(
         scored,
         keys=["query_id"],
@@ -253,6 +465,48 @@ def ivf_topk(
         rank_col="rank",
     )
     return out.select("query_id", "neighbor_id", "rank", "sim")
+
+
+def _assign_cells_np(frame: DataFrame, vc: str, cen) -> DataFrame:
+    """Append ``cell`` (1-based nearest-centroid argmax, first-max tie →
+    lowest cell) to a vector frame via one vectorized Arrow pass —
+    bit-identical to the literal-mode HOF chain it replaces:
+    per-cell score = fold(v·cᵢ) / (sqrt(fold(v·v)) · |cᵢ|) with |cᵢ|
+    the SAME plan-literal value (``float(np.sqrt(c @ c))``), and
+    ``np.argmax`` = ``array_position(sims, array_max(sims))`` for the
+    all-comparable and all-NaN cases alike (NaN rows only arise from a
+    zero-norm vector, which NaNs every cell on both engines). A null
+    vector row gets a null cell (HOF null fold), dropped by the
+    downstream cell join."""
+    import numpy as np
+    import pyarrow as pa
+
+    cen = np.asarray(cen, dtype=np.float64)
+    W = np.ascontiguousarray(cen.T)
+    cnorms = np.array([float(np.sqrt(c @ c)) for c in cen])
+    vc_idx = frame.columns.index(vc)
+    ddl = _ddl_of(frame, frame.columns) + ", cell int"
+    names = frame.columns + ["cell"]
+
+    def fn(it):
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            X, mask = _np2d(batch.column(vc_idx))
+            if X.shape[1] == W.shape[0]:
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    nrm = np.sqrt(_fold_pair(X, X))
+                    sims = _fold_mat(X, W) / (nrm[:, None] * cnorms[None, :])
+                cell = (np.argmax(sims, axis=1) + 1).astype(np.int32)
+                bad = mask
+            else:  # dim mismatch → null sims → null cell
+                cell = np.zeros(batch.num_rows, dtype=np.int32)
+                bad = np.ones(batch.num_rows, dtype=bool)
+            cols = list(batch.columns)
+            cols.append(pa.array(cell, type=pa.int32(), mask=bad))
+            yield pa.RecordBatch.from_arrays(cols, names=names)
+
+    return frame.mapInArrow(fn, ddl)
 
 
 def _cent_frame(centroids: DataFrame, cell_col: str, cent_col: str) -> DataFrame:
@@ -510,12 +764,11 @@ def lsh_bucket_topk(
         dim = _infer_dim(corpus, vec_col)
     rng = np.random.Generator(np.random.PCG64(seed))
     planes = rng.standard_normal((n_tables, n_planes, dim))
-    pf = _planes_frame(queries.sparkSession, planes)
 
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
-    qb = _with_lsh_buckets(q, "_qv", "query_id", pf)
-    cb = _with_lsh_buckets(c, "_cv", "neighbor_id", pf)
+    qb = _with_lsh_buckets(q, "_qv", planes)
+    cb = _with_lsh_buckets(c, "_cv", planes)
     cands = (
         qb.join(cb, on=["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))

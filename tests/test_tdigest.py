@@ -251,3 +251,46 @@ def test_routed_build_big_window_path(spark):
     small = out[t0 + dt.timedelta(minutes=1)]
     assert list(small.means) == [0.0, 1.0, 2.0, 3.0, 4.0]
     assert list(small.weights) == [1.0] * 5
+
+
+def test_routed_build_shuffle_fallback_matches_broadcast(spark):
+    """r8 broadcast guard: when the oversized-window key set exceeds
+    _BROADCAST_KEY_CAP, the split must ride plain shuffle joins and the
+    output must stay bit-identical to the broadcast route — asserted on
+    a skewed input where EVERY window is oversized."""
+    import datetime as dt
+
+    import gmql_spark.functions.tdigest as td
+
+    t0 = dt.datetime(2024, 5, 1)
+    rng = np.random.Generator(np.random.PCG64(17))
+    rows = []
+    for wmin in range(4):  # 4 windows, all past the 2δ/π≈191 threshold
+        vals = rng.lognormal(2, 1, size=250)
+        rows += [
+            ("k1", t0 + dt.timedelta(minutes=wmin, microseconds=i), float(v))
+            for i, v in enumerate(vals)
+        ]
+    df = spark.createDataFrame(rows, "conv_id string, ts timestamp, v double")
+
+    def run():
+        return sorted(
+            tdigest_rollup(df, "1m", value_col="v").collect(),
+            key=lambda r: r.window_start,
+        )
+
+    broadcast_route = run()
+    orig = td._BROADCAST_KEY_CAP
+    td._BROADCAST_KEY_CAP = 0  # force the shuffle fallback
+    try:
+        fallback_route = run()
+    finally:
+        td._BROADCAST_KEY_CAP = orig
+    assert len(broadcast_route) == len(fallback_route) == 4
+    for a, b in zip(broadcast_route, fallback_route):
+        assert a.window_start == b.window_start
+        assert np.array_equal(np.asarray(a.means), np.asarray(b.means))
+        assert np.array_equal(np.asarray(a.weights), np.asarray(b.weights))
+        assert (a.vmin, a.vmax) == (b.vmin, b.vmax)
+        # every window really is oversized -> genuinely compressed
+        assert len(a.means) < 250

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -114,6 +114,32 @@ def rollup(
     if with_gaps:
         df = with_gap_seconds(df, key=key, ts=ts)
     win = F.window(ts, TIER_DURATION[tier])
+    # r8: the exact-percentile rank pass is FUSED into the main
+    # aggregate instead of a separate percentiles_for_tier + join. The
+    # rank window and the groupBy share the same (key, window) hash
+    # partitioning, so the plan is ONE exchange + sort + aggregate —
+    # the former shape paid a second raw-scale exchange for the rank
+    # pass plus a tier-sized join per tier. Nulls-last ordering keeps
+    # the rank arithmetic identical to the filtered pre-r8 pass: the
+    # k non-null gaps rank 0..k−1 (null gaps sort after and can never
+    # equal a lo/hi index, which are ≤ k−1), and n counts non-nulls.
+    w_rank = Window.partitionBy(key, win).orderBy(F.col("gap_s").asc_nulls_last())
+    w_part = Window.partitionBy(key, win)
+    d = df.withColumn("_rn", F.row_number().over(w_rank) - 1).withColumn(
+        "_ng", F.count("gap_s").over(w_part)
+    )
+    pct_aggs = []
+    for i, p in enumerate(PCTS):
+        pos = F.lit(p) * (F.col("_ng") - 1)
+        lo = F.floor(pos).cast("long")
+        hi = F.ceil(pos).cast("long")
+        pct_aggs += [
+            F.max(F.when(F.col("_rn") == lo, F.col("gap_s"))).alias(f"_lov{i}"),
+            F.max(F.when(F.col("_rn") == hi, F.col("gap_s"))).alias(f"_hiv{i}"),
+            F.max(pos).alias(f"_p{i}"),
+            F.max(lo).alias(f"_l{i}"),
+            F.max(hi).alias(f"_h{i}"),
+        ]
     aggs = [
         F.count(F.lit(1)).alias("turn_count"),
         *(
@@ -132,13 +158,29 @@ def rollup(
         F.sum("gap_us").alias("latency_sum_us"),
         F.min(ts).alias("first_ts"),
         F.max(ts).alias("last_ts"),
+        *pct_aggs,
     ]
-    agged = df.groupBy(key, win.alias("w")).agg(*aggs)
+    agged = d.groupBy(key, win.alias("w")).agg(*aggs)
+    pct_cols = []
+    for i, name in enumerate(PCT_NAMES):
+        lo_v, hi_v = F.col(f"_lov{i}"), F.col(f"_hiv{i}")
+        pos, lo, hi = F.col(f"_p{i}"), F.col(f"_l{i}"), F.col(f"_h{i}")
+        pct_cols.append(
+            F.when(lo == hi, lo_v)
+            .otherwise(lo_v * (hi - pos) + hi_v * (pos - lo))
+            .alias(name)
+        )
+    keep = [
+        c
+        for c in agged.columns
+        if c not in (key, "w") and not c.startswith(("_lov", "_hiv", "_p", "_l", "_h"))
+    ]
     main = agged.select(
         key,
         F.col("w.start").alias("window_start"),
         F.col("w.end").alias("window_end"),
-        *[c for c in agged.columns if c not in (key, "w")],
+        *keep,
+        *pct_cols,
     )
     empty_map = F.expr("cast(map() as map<string,bigint>)")
     if role_values is None:
@@ -151,10 +193,6 @@ def rollup(
         main = main.join(tc, on=[key, "window_start"], how="left").withColumn(
             "tool_counts", F.coalesce(F.col("tool_counts"), empty_map)
         )
-    # exact percentiles via the rank plan (see percentiles_for_tier);
-    # joined back at identical (key, window_start) grain — tier-sized join
-    pct = percentiles_for_tier(df, tier, key=key, ts=ts, with_gaps=False)
-    main = main.join(pct, on=[key, "window_start"], how="left")
     sketch_cols: list[str] = []
     if with_sketches:
         with_digest = with_sketches == "digest"
@@ -238,16 +276,52 @@ def two_level_counts(
     )
 
 
-def cascade_rollup(finer: DataFrame, tier: str, key: str = "conv_id") -> DataFrame:
+def _merged_counts_col(col: str, values: Sequence[str]) -> Column:
+    """Aggregate merging ``map<string,bigint>`` histograms over a KNOWN
+    category domain entirely inside one hash aggregate: per category,
+    ``sum(element_at(map, cat))`` (null when absent everywhere — entry
+    filtered out, matching the explode path's no-rows case), assembled
+    sorted by category — the same entry order the generic explode +
+    map_from_entries(array_sort(...)) path produces."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(v).alias("_cat"),
+                F.sum(F.element_at(F.col(col), F.lit(v))).alias("_n"),
+            )
+            for v in sorted(values)
+        ]
+    )
+    return F.map_from_entries(F.filter(entries, lambda e: e["_n"].isNotNull()))
+
+
+def cascade_rollup(
+    finer: DataFrame,
+    tier: str,
+    key: str = "conv_id",
+    role_values: Sequence[str] | None = None,
+    tool_values: Sequence[str] | None = None,
+) -> DataFrame:
     """Re-aggregate a finer tier to a coarser one for all *mergeable*
     stats (counts, histogram maps, min/max, sums). Percentiles are not
     mergeable and are absent from the result — join in
     ``percentiles_for_tier`` (exact-from-raw) or accept sketches.
 
+    ``role_values``/``tool_values`` (r8): when the category domains are
+    known (the same closed-domain contract as ``rollup``), the map
+    merges ride the scalars aggregate via ``_merged_counts_col`` — one
+    aggregate, no explode passes, no joins. Identical output to the
+    generic path (differential-tested).
+
     Composition laws verified by tests: sum∘count = count, map-merge of
     value-counts = value-counts of union, min∘min, max∘max.
     """
     win = F.window("window_start", TIER_DURATION[tier])
+    fused = [
+        _merged_counts_col(col, vals).alias(col)
+        for col, vals in (("role_counts", role_values), ("tool_counts", tool_values))
+        if vals is not None
+    ]
     scalars = (
         finer.groupBy(key, win.alias("w"))
         .agg(
@@ -256,6 +330,7 @@ def cascade_rollup(finer: DataFrame, tier: str, key: str = "conv_id") -> DataFra
             F.sum("latency_sum_us").alias("latency_sum_us"),
             F.min("first_ts").alias("first_ts"),
             F.max("last_ts").alias("last_ts"),
+            *fused,
         )
         .select(
             key,
@@ -266,6 +341,11 @@ def cascade_rollup(finer: DataFrame, tier: str, key: str = "conv_id") -> DataFra
             "latency_sum_us",
             "first_ts",
             "last_ts",
+            *[
+                col
+                for col, vals in (("role_counts", role_values), ("tool_counts", tool_values))
+                if vals is not None
+            ],
         )
     )
     # histogram-map merge via explode -> codegen hash sum -> map assembly
@@ -274,7 +354,12 @@ def cascade_rollup(finer: DataFrame, tier: str, key: str = "conv_id") -> DataFra
     # finer tier — the 128-group sort fallback again.
     empty_map = F.expr("cast(map() as map<string,bigint>)")
     out = scalars
-    for col in ("role_counts", "tool_counts"):
+    generic_cols = [
+        col
+        for col, vals in (("role_counts", role_values), ("tool_counts", tool_values))
+        if vals is None
+    ]
+    for col in generic_cols:
         cat = (
             finer.select(key, win.alias("w"), F.explode(col).alias("_cat", "_v"))
             .groupBy(key, F.col("w.start").alias("window_start"), "_cat")
@@ -459,13 +544,19 @@ def rollup_tier_from(
     key: str = "conv_id",
     ts: str = "ts",
     with_gaps: bool = True,
+    role_values: Sequence[str] | None = None,
+    tool_values: Sequence[str] | None = None,
 ) -> DataFrame:
     """Full coarser-tier rollup = cascade(mergeables from finer tier)
     ⨝ exact percentiles from raw. The join keys are (key, window_start)
     at identical grain, both sides already hash-partitioned by the
     aggregate — Catalyst plans a shuffle-free sort-merge or reuses the
-    exchange under AQE."""
-    merged = cascade_rollup(finer, tier, key=key)
+    exchange under AQE. Known category domains
+    (``role_values``/``tool_values``) fuse the map merges into the
+    cascade aggregate (see ``cascade_rollup``)."""
+    merged = cascade_rollup(
+        finer, tier, key=key, role_values=role_values, tool_values=tool_values
+    )
     pct = percentiles_for_tier(raw, tier, key=key, ts=ts, with_gaps=with_gaps)
     out = merged.join(pct, on=[key, "window_start"], how="left")
     sketch_cols = [c for c in (*SKETCH_COLS, "lat_digest") if c in merged.columns]
@@ -501,7 +592,18 @@ def rollup_all_tiers(
     once; the raw-with-gaps frame feeds the 1m rollup and each tier's
     exact-percentile pass (``cache_gaps=True`` persists it across those
     consumers — the common-subplan reuse the reference does with
-    ``intermediateResult`` memoization, ``IROperator.scala:11``)."""
+    ``intermediateResult`` memoization, ``IROperator.scala:11``).
+
+    Tier shape (r8): without sketches, every tier is a DIRECT fused
+    rollup of the gap frame — the exact-percentile contract forces one
+    raw-scale exchange+sort per tier regardless, and the fused rollup
+    computes all mergeables inside that same pass, so the coarser tier
+    costs exchange+sort+agg with ZERO joins, strictly less than
+    cascade(finer) ⨝ percentiles(raw) (which still paid the raw pass
+    PLUS cascade aggregates plus joins). With sketches the cascade path
+    stays: sketch columns are the mergeable-by-construction carriers
+    (cascaded digests ≠ rebuilt-from-raw digests, and rebuilding them
+    per tier would re-scan raw through Arrow)."""
     raw_g = with_gap_seconds(raw, key=key, ts=ts).select(
         key, ts, "role", "tool", "gap_us", "gap_s"
     )
@@ -510,14 +612,17 @@ def rollup_all_tiers(
     out: dict[str, DataFrame] = {}
     prev = None
     for t in tiers:
-        if prev is None:
+        if prev is None or not with_sketches:
             out[t] = rollup(
                 raw_g, t, key=key, ts=ts, with_gaps=False,
                 role_values=role_values, tool_values=tool_values,
                 with_sketches=with_sketches,
             )
         else:
-            out[t] = rollup_tier_from(out[prev], raw_g, t, key=key, ts=ts, with_gaps=False)
+            out[t] = rollup_tier_from(
+                out[prev], raw_g, t, key=key, ts=ts, with_gaps=False,
+                role_values=role_values, tool_values=tool_values,
+            )
         if persist_tiers:
             # tiers are tiny relative to raw; persisting stops the lazy
             # cascade from recomputing the whole finer tier inside every

@@ -83,3 +83,102 @@ def test_generic_counts_map_path(data):
     a = fast.select("conv_id", "window_start", "role_counts", "tool_counts").toPandas()
     b = generic.select("conv_id", "window_start", "role_counts", "tool_counts").toPandas()
     assert_pdf_equal(a, b, ["conv_id", "window_start"])
+
+
+def test_fused_rollup_equals_join_formulation(spark):
+    from pyspark.sql import functions as F
+
+    """r8 fusion: the single-aggregate rollup (rank window + mergeables
+    + percentile interpolation in one pass) must equal the pre-r8
+    two-pass formulation (main agg ⨝ percentiles_for_tier) bit-for-bit,
+    including windows with 0/1 gaps and all-null-gap windows."""
+    from gmql_spark.datagen import ROLES, transcripts_spark
+    from gmql_spark.operators.rollup import (
+        PCT_NAMES,
+        percentiles_for_tier,
+        rollup,
+        with_gap_seconds,
+    )
+
+    raw = transcripts_spark(spark, n_conv=40)
+    raw_g = with_gap_seconds(raw).select(
+        "conv_id", "ts", "role", "tool", "gap_us", "gap_s"
+    )
+    fused = rollup(raw_g, "1h", with_gaps=False, role_values=list(ROLES)).toPandas()
+
+    win = F.window("ts", "1 hour")
+    from gmql_spark.functions.aggregates import counts_map
+
+    agged = raw_g.groupBy("conv_id", win.alias("w")).agg(
+        F.count(F.lit(1)).alias("turn_count"),
+        counts_map(F.col("role"), list(ROLES)).alias("role_counts"),
+        counts_map(F.col("tool"), None).alias("tool_counts"),
+        F.count("gap_s").alias("latency_cnt"),
+        F.sum("gap_us").alias("latency_sum_us"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+    main = agged.select(
+        "conv_id",
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        *[c for c in agged.columns if c not in ("conv_id", "w")],
+    )
+    pct = percentiles_for_tier(raw_g, "1h", with_gaps=False)
+    old = main.join(pct, on=["conv_id", "window_start"], how="left").select(
+        *[c for c in fused.columns]
+    ).toPandas()
+
+    fused = fused.sort_values(["conv_id", "window_start"]).reset_index(drop=True)
+    old = old.sort_values(["conv_id", "window_start"]).reset_index(drop=True)
+    assert len(fused) == len(old) > 0
+    for c in fused.columns:
+        if c in PCT_NAMES:
+            a, b = fused[c].to_numpy(), old[c].to_numpy()
+            import numpy as np
+
+            same = (a == b) | (np.isnan(a.astype(float)) & np.isnan(b.astype(float)))
+            assert same.all(), c
+        elif c in ("role_counts", "tool_counts"):
+            assert all(dict(x) == dict(y) for x, y in zip(fused[c], old[c])), c
+        else:
+            eq = fused[c].eq(old[c]) | (fused[c].isna() & old[c].isna())
+            assert eq.all(), c
+
+
+def test_fused_cascade_maps_equal_generic(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    """r8: cascade_rollup with known category domains (fused in-agg map
+    merge) must equal the generic explode-path cascade, entry order
+    included."""
+    from gmql_spark.datagen import ROLES, TOOL_NAMES, transcripts_spark
+    from gmql_spark.operators.rollup import cascade_rollup, rollup, with_gap_seconds
+
+    raw = transcripts_spark(spark, n_conv=40)
+    raw_g = with_gap_seconds(raw).select(
+        "conv_id", "ts", "role", "tool", "gap_us", "gap_s"
+    )
+    m1 = rollup(
+        raw_g, "1m", with_gaps=False,
+        role_values=list(ROLES), tool_values=list(TOOL_NAMES),
+    ).persist()
+    generic = cascade_rollup(m1, "1h").toPandas()
+    fused = cascade_rollup(
+        m1, "1h", role_values=list(ROLES), tool_values=list(TOOL_NAMES)
+    ).toPandas()
+    m1.unpersist()
+    key = ["conv_id", "window_start"]
+    generic = generic.sort_values(key).reset_index(drop=True)
+    fused = fused.sort_values(key).reset_index(drop=True)
+    assert len(generic) == len(fused) > 0
+    for c in generic.columns:
+        if c in ("role_counts", "tool_counts"):
+            # entry ORDER must match too (both sorted by category)
+            assert all(
+                list(x.items()) == list(y.items())
+                for x, y in zip(generic[c], fused[c])
+            ), c
+        else:
+            eq = generic[c].eq(fused[c]) | (generic[c].isna() & fused[c].isna())
+            assert eq.all(), c

@@ -220,25 +220,37 @@ def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _read(spark, sf_dir, "events")
     cols = ["user_id", "window_start", "n", "is_gap", "n_locf"]
-    # ONE hourly rollup feeds both variants (gapfill projects just the
-    # columns it needs, so the zero variant simply ignores val_max) —
-    # identical agg subtrees let Catalyst reuse the scan + exchange
-    # instead of window-aggregating the events table twice
+    # ONE hourly rollup feeds ONE gapfill pass (r8): the zero variant is
+    # a pure projection of the interp variant (same grid, same n /
+    # is_gap / n_locf — interp_col only ADDS latency_interp), so both
+    # variants are emitted from a single computed frame via a 2-element
+    # variant explode instead of a union that re-ran the whole rollup →
+    # grid → join → window pipeline per branch. Row set is identical to
+    # the former union by construction (projection algebra, data-
+    # independent); the oracle is unchanged.
     hi = window_rollup(
         ev,
         "1 hour",
         aggs=[F.count(F.lit(1)).alias("n"), F.max("value").alias("val_max")],
         keys=["user_id"],
     )
-    zero = gapfill(hi, tier="1h", key="user_id", value_col="n", interp_col=None).select(
-        F.lit("zero").alias("variant"),
-        *cols,
-        F.lit(None).cast("double").alias("latency_interp"),
-    )
-    interp = gapfill(hi, tier="1h", key="user_id", value_col="n", interp_col="val_max").select(
-        F.lit("interp").alias("variant"), *cols, "latency_interp"
-    )
-    return zero.unionByName(interp)
+    full = gapfill(hi, tier="1h", key="user_id", value_col="n", interp_col="val_max")
+
+    def _variant(tag: str, interp) -> F.Column:
+        return F.struct(
+            F.lit(tag).alias("variant"),
+            *[F.col(c).alias(c) for c in cols],
+            interp.cast("double").alias("latency_interp"),
+        )
+
+    return full.select(
+        F.explode(
+            F.array(
+                _variant("zero", F.lit(None)),
+                _variant("interp", F.col("latency_interp")),
+            )
+        ).alias("_e")
+    ).select("_e.*")
 
 
 # ------------------------------------------------- select / project / order

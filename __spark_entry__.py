@@ -116,12 +116,22 @@ def q_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _read(spark, sf_dir, "events")
     g = with_gap_seconds(ev, key="user_id", order=["ts", "event_id"], ts="ts")
-    base = g.groupBy("user_id").agg(
-        F.count("gap_s").alias("n_gaps"),
-        F.sum("gap_us").alias("latency_sum_us"),
+    # r8: the count/sum base aggregate rides the percentile pass's own
+    # groupBy (extra_aggs) — one exchange+sort, no join. Row set is
+    # unchanged: the former inner join kept exactly the users with >=1
+    # non-null gap, which is exactly who the filtered pct pass emits,
+    # and count('gap_s')/sum('gap_us') see the same non-null rows.
+    out = exact_percentiles(
+        g,
+        keys=["user_id"],
+        value="gap_s",
+        extra_aggs=[
+            F.count("gap_s").alias("n_gaps"),
+            F.sum("gap_us").alias("latency_sum_us"),
+        ],
+        extra_cols=["gap_us"],
     )
-    pct = exact_percentiles(g, keys=["user_id"], value="gap_s")
-    return base.join(pct, "user_id").select(
+    return out.select(
         "user_id", "n_gaps", "latency_p50", "latency_p95", "latency_p99", "latency_sum_us"
     )
 

@@ -338,14 +338,10 @@ def accumulation(
         local = pid.withColumn(
             "_lcum", F.sum("d").over(w.rowsBetween(Window.unboundedPreceding, 0))
         ).withColumn("_lnext", F.lead("t").over(w))
-        # per-bucket summary reads the STAGED pid frame, so its two
-        # consumers (offsets + patch) each re-run only a tiny aggregate
-        # over checkpoint blocks — not worth a checkpoint of its own
-        # (every localCheckpoint costs a driver-side physical-planning
-        # pass at construction; gate construction was outweighing
-        # execution)
-        per_pid = pid.groupBy("_pid").agg(
-            F.sum("d").alias("_ptotal"), F.min("t").alias("_first_t")
+        per_pid = _stage(
+            pid.groupBy("_pid").agg(
+                F.sum("d").alias("_ptotal"), F.min("t").alias("_first_t")
+            )
         )
         offsets = _prefix_scan_offsets(
             per_pid.select("_pid", "_ptotal"),
@@ -416,13 +412,13 @@ def _islands(
     )
     # per-bucket summary: provisional total = last running sum (flags are
     # 0/1 so max(_lcum) = the bucket's flag sum), plus the edge values
-    # the boundary correction needs. Reads the STAGED local frame — its
-    # consumers re-run only a bucket-grain aggregate over checkpoint
-    # blocks, so it is not staged itself (see accumulation)
-    per_pid = local.groupBy("_pid").agg(
-        F.max("_lcum").alias("_ptotal"),
-        F.min("acc_start").alias("_first_start"),
-        F.max_by("acc_end", "acc_start").alias("_last_end"),
+    # the boundary correction needs
+    per_pid = _stage(
+        local.groupBy("_pid").agg(
+            F.max("_lcum").alias("_ptotal"),
+            F.min("acc_start").alias("_first_start"),
+            F.max_by("acc_end", "acc_start").alias("_last_end"),
+        )
     )
     adj = _bucket_shift(per_pid, [("_last_end", -1, "_prev_last_end")])
     per2 = per_pid.join(F.broadcast(adj), "_pid").withColumn(

@@ -486,6 +486,8 @@ def exact_percentiles(
     value: str,
     pcts: Sequence[float] = PCTS,
     names: Sequence[str] = PCT_NAMES,
+    extra_aggs: Sequence[Column] = (),
+    extra_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Exact percentiles of ``value`` per key group — the same rank +
     hash-agg + lerp plan as :func:`percentiles_for_tier`, for arbitrary
@@ -497,14 +499,21 @@ def exact_percentiles(
     the DuckDB/pandas oracles, unlike the built-in ``F.percentile`` whose
     ``lo + d*(hi-lo)`` form differs by an ulp on some inputs AND plans an
     ObjectHashAggregate (sort-based fallback past 128 groups/partition).
-    Null values are skipped (GMQL aggregate null-skip semantics)."""
+    Null values are skipped (GMQL aggregate null-skip semantics).
+
+    ``extra_aggs`` (r8): additional aggregates computed INSIDE the same
+    groupBy (over the null-filtered rows), so callers that previously
+    paid a separate base aggregate + join share this pass's single
+    exchange+sort; ``extra_cols`` lists any additional input columns
+    they reference."""
     keys = list(keys)
-    g = df.filter(F.col(value).isNotNull()).select(*keys, value)
+    g = df.filter(F.col(value).isNotNull()).select(*keys, value, *extra_cols)
     w_rank = Window.partitionBy(*keys).orderBy(value)
     w_part = Window.partitionBy(*keys)
     d = g.select(
         *keys,
         value,
+        *extra_cols,
         (F.row_number().over(w_rank) - 1).alias("rn"),
         F.count(F.lit(1)).over(w_part).alias("n"),
     )
@@ -524,7 +533,7 @@ def exact_percentiles(
             F.max(f"_lo{i}").alias(f"_l{i}"),
             F.max(f"_hi{i}").alias(f"_h{i}"),
         ]
-    agged = d.groupBy(*keys).agg(*aggs)
+    agged = d.groupBy(*keys).agg(*aggs, *extra_aggs)
     pct_cols = []
     for i, name in enumerate(names):
         lo_v, hi_v = F.col(f"_lov{i}"), F.col(f"_hiv{i}")
@@ -534,7 +543,8 @@ def exact_percentiles(
             .otherwise(lo_v * (hi - pos) + hi_v * (pos - lo))
             .alias(name)
         )
-    return agged.select(*keys, *pct_cols)
+    extra_names = agged.columns[len(keys) + 5 * len(pcts):]
+    return agged.select(*keys, *pct_cols, *extra_names)
 
 
 def rollup_tier_from(

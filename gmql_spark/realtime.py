@@ -227,8 +227,12 @@ def derive_tier_frames(
         & (F.col(ts) < F.lit(end.replace(tzinfo=None)))
     )
     m1 = window_rollup(raw_rng, "1 minute", aggs=raw_aggs, keys=keys, ts=ts)
-    m1 = m1.localCheckpoint(eager=True)
-    h1 = cascade(m1, "1 hour", aggs=merge_aggs, keys=keys).localCheckpoint(eager=True)
+    # lazy checkpoints (r8): the consumer's single action materializes
+    # 1m then 1h exactly once and every segment branch reads the blocks,
+    # same sharing as eager — without paying two serial driver jobs at
+    # construction time
+    m1 = m1.localCheckpoint(eager=False)
+    h1 = cascade(m1, "1 hour", aggs=merge_aggs, keys=keys).localCheckpoint(eager=False)
     d1 = cascade(h1, "1 day", aggs=merge_aggs, keys=keys)
     return raw_rng, {"1m": m1, "1h": h1, "1d": d1}
 

@@ -101,7 +101,13 @@ def _run_drain(
         agg.writeStream.outputMode("append")
         .trigger(availableNow=True)
         .option("checkpointLocation", ckpt_dir)
-        .foreachBatch(lambda b, _id: b.write.mode("append").parquet(out_dir))
+        .foreachBatch(
+            # scratch sink: snappy beats the session's zstd default on
+            # write wall and the table is re-read once then discarded
+            lambda b, _id: b.write.mode("append")
+            .option("compression", "snappy")
+            .parquet(out_dir)
+        )
         .start()
     )
     q.awaitTermination(int(timeout_s))
@@ -196,7 +202,8 @@ def run_rollup_to_table(
     out_dir = os.path.join(work_dir, "out")
     ckpt_dir = os.path.join(work_dir, "ckpt")
     os.makedirs(out_dir, exist_ok=True)
-    source.coalesce(1).write.parquet(src_dir)
+    # scratch staging: snappy — single-threaded write, read back once
+    source.coalesce(1).write.option("compression", "snappy").parquet(src_dir)
 
     staged = spark.read.parquet(src_dir)
     stream = spark.readStream.schema(staged.schema).parquet(src_dir)

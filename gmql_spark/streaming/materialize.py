@@ -183,11 +183,14 @@ def run_rollup_to_table(
     """Run ``stream_window_rollup`` over ``source`` for real
     (availableNow) and materialize the emitted windows.
 
-    ``work_dir`` is wiped and reused (staged ingest file + checkpoint +
+    ``work_dir`` is wiped and reused (staged ingest files + checkpoint +
     output table — a scratch dir, never a data dir). The source is
-    staged as ONE file so the run is a deterministic two-batch drain:
-    batch 0 ingests everything (watermark unset ⇒ no late drops),
-    the final no-data batch advances the watermark to
+    staged as a handful of files ingested in ONE micro-batch (no
+    ``maxFilesPerTrigger``, so availableNow takes every staged file in
+    batch 0 — r8: multiple files parallelize the ingest scan that a
+    single coalesce(1) file serialized, with the identical deterministic
+    two-batch drain): batch 0 ingests everything (watermark unset ⇒ no
+    late drops), the final no-data batch advances the watermark to
     ``max(ts) - watermark`` and flushes every closed window through
     ``foreachBatch`` into the parquet table.
 
@@ -202,8 +205,11 @@ def run_rollup_to_table(
     out_dir = os.path.join(work_dir, "out")
     ckpt_dir = os.path.join(work_dir, "ckpt")
     os.makedirs(out_dir, exist_ok=True)
-    # scratch staging: snappy — single-threaded write, read back once
-    source.coalesce(1).write.option("compression", "snappy").parquet(src_dir)
+    # scratch staging: snappy (written once, read once); 8 files so the
+    # batch-0 ingest scan has task parallelism — all of them land in the
+    # same micro-batch (module doc), so the drain semantics are the ONE
+    # deterministic two-batch shape regardless of file count
+    source.repartition(8).write.option("compression", "snappy").parquet(src_dir)
 
     staged = spark.read.parquet(src_dir)
     stream = spark.readStream.schema(staged.schema).parquet(src_dir)

@@ -53,6 +53,14 @@ def decode_png(payload: bytes) -> np.ndarray:
         data = payload[pos + 8 : pos + 8 + length]
         if len(data) != length:
             raise ValueError("truncated PNG chunk")
+        crc_raw = payload[pos + 8 + length : pos + 12 + length]
+        if len(crc_raw) != 4 or struct.unpack(">I", crc_raw)[0] != (
+            zlib.crc32(ctype + data) & 0xFFFFFFFF
+        ):
+            # recognized-but-corrupt must never silently degrade: a
+            # bit-flipped filter byte with intact zlib framing would
+            # otherwise decode to wrong pixels
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
         if ctype == b"IHDR":
             if length != 13:
                 raise ValueError(f"bad PNG IHDR length {length}")
@@ -61,7 +69,7 @@ def decode_png(payload: bytes) -> np.ndarray:
             idat.extend(data)
         elif ctype == b"IEND":
             break
-        pos += 8 + length + 4  # skip CRC (validated payloads only)
+        pos += 8 + length + 4
     if ihdr is None:
         raise ValueError("PNG without IHDR")
     w, h, depth, ctype_v, comp, filt, interlace = ihdr

@@ -160,6 +160,11 @@ def _wipe_scratch(work_dir: str) -> None:
     call. Every entry point (direct calls and the GSL STREAM statement)
     inherits the guard because it sits next to the rmtree."""
     if os.path.exists(work_dir):
+        if not os.path.isdir(work_dir):
+            raise ValueError(
+                f"refusing to wipe {work_dir!r}: it exists and is not a "
+                "directory — not a drain scratch dir"
+            )
         entries = set(os.listdir(work_dir))
         if entries and not entries <= {"src", "out", "ckpt"}:
             raise ValueError(
@@ -233,7 +238,11 @@ def stage_files_ordered(files: Sequence[DataFrame], src_dir: str) -> None:
         f.coalesce(1).write.mode("append").parquet(src_dir)
         parts = {p for p in os.listdir(src_dir) if p.endswith(".parquet")}
         new = parts - seen
-        assert len(new) == 1, f"expected one staged file, got {sorted(new)}"
+        if len(new) != 1:  # RuntimeError, not assert: survives python -O
+            raise RuntimeError(
+                f"staged-file invariant broken: expected one new parquet "
+                f"file, got {sorted(new)} — batch ordering would be wrong"
+            )
         seen = parts
         t = now + 100_000 + i
         os.utime(os.path.join(src_dir, next(iter(new))), (t, t))

@@ -106,3 +106,20 @@ def test_decode_any_dispatches_png_and_wav():
     # unrecognized bytes still fall through to the deterministic stub
     stub = decode_any(b"\x00\x01\x02unknown-format")
     assert stub.dtype == np.uint8 and stub.size >= 64
+
+
+def test_png_crc_mismatch_rejected():
+    """A bit flip inside a chunk (CRC intact framing) must raise, not
+    silently decode wrong pixels (quarantine contract)."""
+    import numpy as np
+    import pytest
+
+    from gmql_spark.operators.png import decode_png, encode_png
+
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    payload = bytearray(encode_png(img))
+    # flip one bit inside the IDAT payload (leave length/type/CRC bytes)
+    idx = payload.index(b"IDAT") + 6
+    payload[idx] ^= 0x01
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        decode_png(bytes(payload))
